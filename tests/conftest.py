@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh before first use.
+
+This is the standard JAX trick for testing multi-chip sharding without
+hardware (SURVEY.md §4): all tests run on CPU with 8 fake devices so
+`shard_map`/`pjit` paths execute real collectives.
+
+Note: the container's sitecustomize registers the remote `axon` TPU platform
+and pins `jax_platforms`; tests must override it *via jax.config* (the env var
+alone is ignored) before any backend is initialized.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
