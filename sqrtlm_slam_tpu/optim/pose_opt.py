@@ -20,6 +20,7 @@ edges are padded arrays; invalid entries carry zero weight. The full
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -130,7 +131,7 @@ def optimize_pose(
     rounds: int = 4,
     iters_per_round: int = 10,
     lidar_iters: int = 10,
-    huber_delta: float = jnp.sqrt(losses.CHI2_2DOF),
+    huber_delta: float = math.sqrt(losses.CHI2_2DOF),
 ) -> PoseOptResult:
     """Full tracking pose optimization (visual rounds + optional LiDAR stage).
 

