@@ -1,0 +1,76 @@
+"""Headline benchmark: local-BA LM iterations/second on the Schur engine.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} plus
+auxiliary metrics on stderr. The problem size mirrors the reference's local
+BA regime (~10^2 poses, ~10^4 landmarks, ~10^4+ observation edges,
+/root/reference/src/backend/g2oOptimizer.cc:704-1191; SURVEY.md §3.2 calls
+it the hottest backend loop).
+
+Baseline: the reference publishes no numbers (BASELINE.md). `BASELINE_ITERS_S`
+is the reference-regime estimate recorded there: g2o local BA at this scale
+runs ~15 LM iterations in ~200-400 ms on a desktop CPU => ~50 iters/s.
+vs_baseline = value / 50.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, make_ba_problem
+from sqrtlm_slam_tpu.optim import schur
+
+BASELINE_ITERS_S = 50.0
+
+# Reference local-BA regime: ~10^2 poses x ~10^4 landmarks (SURVEY.md §3.2).
+P, L = 96, 8192
+ITERS_PER_CALL = 15
+
+
+def main():
+    problem, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.6)
+
+    @jax.jit
+    def ba_step(prob):
+        out, chi2, acc = schur.ba_iterate(
+            prob, DEFAULT_CAM, prob.obs_valid, ITERS_PER_CALL, robust_delta=2.447
+        )
+        return out, chi2
+
+    # Warm-up (compile).
+    out, chi2 = ba_step(problem)
+    jax.block_until_ready(chi2)
+
+    n_calls = 5
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out, chi2 = ba_step(problem)
+    jax.block_until_ready(chi2)
+    dt = time.perf_counter() - t0
+
+    iters_s = n_calls * ITERS_PER_CALL / dt
+    edges = int(problem.obs_valid.sum())
+    print(
+        f"[bench] device={jax.devices()[0].platform} poses={P} landmarks={L} "
+        f"edges={edges} {n_calls}x{ITERS_PER_CALL} LM iters in {dt:.3f}s "
+        f"chi2={float(chi2):.1f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "local_ba_lm_iters_per_s",
+                "value": round(iters_s, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_s / BASELINE_ITERS_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Local mapping: keyframe processing, culling, and local bundle adjustment.
+
+TPU-native redesign of `LocalMapping` (/root/reference/src/backend/LocalMapping.cc):
+  * `ProcessNewKeyFrame` (:203-263) — observation/descriptor/covisibility
+    updates (largely handled at insertion by the tracker + store).
+  * `MapPointCulling` (:270-328) — found-ratio < 0.25 or too few observers.
+  * `SearchInNeighbors` fuse (:661-787) — duplicate landmark merging.
+  * `Optimizer::LocalBundleAdjustment` (g2oOptimizer.cc:704-1191) — here
+    the gather into a fixed-capacity BAProblem + the jitted Schur engine
+    (optim/schur.py) + write-back/outlier-pruning under no lock at all
+    (functional snapshots instead of Map::mMutexMapUpdate).
+  * `KeyFrameCulling` (:931-1033) — >= 90% of landmarks seen >= 3x elsewhere.
+
+The reference runs this on a dedicated thread consuming a KF queue (P1 in
+SURVEY §2.10); here `process_keyframe` is invoked synchronously per KF by
+default (single-host determinism) and is cheap enough to overlap via the
+async driver in pipeline/system.py later.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..factors.reprojection import Camera
+from ..geometry import se3
+from ..mapstore import MapStore
+from ..optim import schur
+
+
+class LocalMappingConfig(NamedTuple):
+    pose_cap: int = 32  # P: local + frontier keyframes
+    point_cap: int = 4096  # L
+    edge_cap: int = 16384  # E
+    local_kf_cap: int = 16  # covisible window size
+    min_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:270)
+    min_obs_after: int = 2  # required observers once mature
+    cull_redundancy: float = 0.9  # KeyFrameCulling 90% rule
+    cull_min_obs: int = 3
+
+
+class LocalMapper:
+    def __init__(self, store: MapStore, cam: Camera, cfg: LocalMappingConfig = LocalMappingConfig()):
+        self.store = store
+        self.cam = cam
+        self.cfg = cfg
+        self._ba_jit = jax.jit(lambda p: schur.local_ba(p, cam))
+        self.recent_landmarks: list = []  # (lm_id, created_at_kf)
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, kf: int):
+        """Full local-mapping pass for a freshly inserted keyframe."""
+        self.store.update_connections(kf)
+        self.map_point_culling(kf)
+        if self.store.num_kf >= 3:
+            self.local_ba(kf)
+        self.keyframe_culling(kf)
+
+    # ------------------------------------------------------------------
+
+    def map_point_culling(self, current_kf: int):
+        """Cull recently created landmarks that underperform
+        (found-ratio < 0.25, or <= min_obs after 2 KFs)."""
+        store = self.store
+        keep = []
+        for lm, born_kf in self.recent_landmarks:
+            if not store.lm_valid[lm]:
+                continue
+            age = current_kf - born_kf
+            ratio = store.lm_found[lm] / max(store.lm_visible[lm], 1)
+            if ratio < self.cfg.min_found_ratio:
+                store.erase_landmark(lm)
+            elif age >= 2 and store.lm_n_obs[lm] <= self.cfg.min_obs_after:
+                store.erase_landmark(lm)
+            elif age >= 3:
+                pass  # survived probation — drop from the watch list
+            else:
+                keep.append((lm, born_kf))
+        self.recent_landmarks = keep
+
+    def watch_landmarks(self, lm_ids, born_kf: int):
+        for lm in np.atleast_1d(lm_ids):
+            if lm >= 0:
+                self.recent_landmarks.append((int(lm), born_kf))
+
+    # ------------------------------------------------------------------
+
+    def gather_problem(self, center_kf: int):
+        """Build a fixed-capacity BAProblem around `center_kf`.
+
+        Local KFs = center + best covisible; fixed frontier = other observers
+        of the local landmarks (g2oOptimizer.cc:708-760). Returns
+        (problem, kf_ids (P,), lm_ids (L,), edge_kf (E,), edge_lm_slot (E,),
+        edge_kp (E,)) for write-back."""
+        store, cfg = self.store, self.cfg
+        local = [center_kf] + [
+            int(x) for x in store.best_covisible(center_kf, cfg.local_kf_cap - 1)
+        ]
+        local_set = set(local)
+
+        lm_ids = np.unique(store.kf_obs_lm[local])
+        lm_ids = lm_ids[lm_ids >= 0]
+        lm_ids = lm_ids[store.lm_valid[lm_ids]][: cfg.point_cap]
+        lm_slot = {int(l): i for i, l in enumerate(lm_ids)}
+
+        # Frontier: observers of local landmarks outside the local window.
+        observers = store.lm_obs_kf[lm_ids]
+        obs_flat = observers[observers >= 0]
+        frontier = [int(k) for k in np.unique(obs_flat) if k not in local_set]
+        kf_ids = (local + frontier)[: cfg.pose_cap]
+        kf_slot = {int(k): i for i, k in enumerate(kf_ids)}
+        n_local_in = len([k for k in local if k in kf_slot])
+
+        # Edges.
+        e_cam, e_pt, e_uvr, e_is2, e_kf, e_kp = [], [], [], [], [], []
+        for li, lm in enumerate(lm_ids):
+            for s in range(store.obs_per_landmark):
+                kf = int(store.lm_obs_kf[lm, s])
+                if kf < 0 or kf not in kf_slot:
+                    continue
+                kp = int(store.lm_obs_idx[lm, s])
+                e_cam.append(kf_slot[kf])
+                e_pt.append(li)
+                e_uvr.append(store.kf_uvr[kf, kp])
+                oct_ = int(store.kf_octave[kf, kp])
+                e_is2.append(1.0 / (1.2 ** (2 * oct_)))
+                e_kf.append(kf)
+                e_kp.append(kp)
+                if len(e_cam) >= cfg.edge_cap:
+                    break
+            if len(e_cam) >= cfg.edge_cap:
+                break
+
+        P, L, E = cfg.pose_cap, cfg.point_cap, cfg.edge_cap
+        ne = len(e_cam)
+        nk = len(kf_ids)
+        nl = len(lm_ids)
+
+        pose_R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+        pose_t = np.zeros((P, 3), np.float32)
+        pose_R[:nk] = store.kf_R[kf_ids]
+        pose_t[:nk] = store.kf_t[kf_ids]
+        pose_fixed = np.ones(P, bool)  # padding poses fixed
+        for i, k in enumerate(kf_ids):
+            # frontier fixed; also fix the oldest local KF as gauge anchor.
+            pose_fixed[i] = (i >= n_local_in) or (k == min(local))
+        pose_valid = np.zeros(P, bool)
+        pose_valid[:nk] = True
+
+        points = np.zeros((L, 3), np.float32)
+        points[:nl] = store.lm_pos[lm_ids]
+        point_valid = np.zeros(L, bool)
+        point_valid[:nl] = True
+
+        obs_cam = np.zeros(E, np.int32)
+        obs_pt = np.zeros(E, np.int32)
+        obs_uvr = np.full((E, 3), -1.0, np.float32)
+        obs_is2 = np.ones(E, np.float32)
+        obs_valid = np.zeros(E, bool)
+        obs_cam[:ne] = e_cam
+        obs_pt[:ne] = e_pt
+        obs_uvr[:ne] = e_uvr
+        obs_is2[:ne] = e_is2
+        obs_valid[:ne] = True
+
+        problem = schur.BAProblem(
+            pose_R=jnp.asarray(pose_R),
+            pose_t=jnp.asarray(pose_t),
+            pose_fixed=jnp.asarray(pose_fixed),
+            pose_valid=jnp.asarray(pose_valid),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(point_valid),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uvr=jnp.asarray(obs_uvr),
+            obs_inv_sigma2=jnp.asarray(obs_is2),
+            obs_valid=jnp.asarray(obs_valid),
+        )
+        meta = (kf_ids, lm_ids, np.asarray(e_kf[:ne]), np.asarray(e_pt[:ne]), np.asarray(e_kp[:ne]))
+        return problem, meta
+
+    def local_ba(self, center_kf: int):
+        """Gather -> jitted Schur LM -> write back -> prune outliers."""
+        problem, (kf_ids, lm_ids, e_kf, e_pt_slot, e_kp) = self.gather_problem(center_kf)
+        result, survivors, stats = self._ba_jit(problem)
+
+        store = self.store
+        nk, nl = len(kf_ids), len(lm_ids)
+        new_R = np.asarray(result.pose_R[:nk])
+        new_t = np.asarray(result.pose_t[:nk])
+        fixed = np.asarray(problem.pose_fixed[:nk])
+        for i, k in enumerate(kf_ids):
+            if not fixed[i]:
+                store.set_kf_pose(k, new_R[i], new_t[i])
+        store.lm_pos[lm_ids] = np.asarray(result.points[:nl])
+
+        # Erase observations gated out by chi2/depth (g2oOptimizer.cc:1119-1189).
+        surv = np.asarray(survivors[: len(e_kf)])
+        for j in np.where(~surv)[0]:
+            store.erase_observation(int(lm_ids[e_pt_slot[j]]), int(e_kf[j]))
+        return stats
+
+    # ------------------------------------------------------------------
+
+    def keyframe_culling(self, current_kf: int):
+        """Cull covisible KFs whose landmarks are >= 90% redundantly observed
+        (LocalMapping.cc:931-1033). The most recent KF and KF 0 are kept."""
+        store, cfg = self.store, self.cfg
+        for kf in store.best_covisible(current_kf, cfg.local_kf_cap):
+            kf = int(kf)
+            if kf == 0 or kf == current_kf or not store.kf_valid[kf]:
+                continue
+            lms = store.kf_obs_lm[kf]
+            lms = lms[lms >= 0]
+            if len(lms) == 0:
+                continue
+            redundant = (store.lm_n_obs[lms] >= cfg.cull_min_obs + 1).sum()
+            if redundant > cfg.cull_redundancy * len(lms):
+                self._cull_keyframe(kf)
+
+    def _cull_keyframe(self, kf: int):
+        store = self.store
+        lms = store.kf_obs_lm[kf]
+        for i, lm in enumerate(lms):
+            if lm >= 0:
+                store.erase_observation(int(lm), kf)
+        store.kf_valid[kf] = False
+        store.covis[kf] = 0
+        store.covis[:, kf] = 0
+        # Re-parent children in the spanning tree.
+        children = np.where(store.parent == kf)[0]
+        store.parent[children] = store.parent[kf]

@@ -1,0 +1,142 @@
+"""SLAM system facade: wiring tracking + local mapping (+ loop closing).
+
+TPU-native equivalent of `ORB_SLAM2::System`
+(/root/reference/src/System.cc): constructs the map store, tracker and local
+mapper, cross-wires them (System.cc:130-165), exposes `track_*` entry points
+(TrackFusion System.h:130 / TrackMonocular :127), trajectory savers in KITTI
+format (System.cc:503-560) and TUM format (:364-499), `reset` (:338) and the
+relative-pose trajectory recovery (Tracking.cc:566-587: each frame stores its
+pose relative to a reference keyframe, so keyframe corrections from BA/loop
+closure propagate to the full trajectory at save time).
+
+The reference spawns LocalMapping/LoopClosing threads; here local mapping
+runs synchronously per keyframe (deterministic; the XLA computations inside
+are already asynchronous w.r.t. the host) and loop closing hooks in via
+`loop/` when enabled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..factors.reprojection import Camera
+from ..frontend import orb
+from ..geometry import se3
+from ..mapstore import MapStore
+from .frame import Frame, build_frame
+from .local_mapping import LocalMapper, LocalMappingConfig
+from .tracking import Tracker, TrackingConfig, TrackState
+
+
+class SystemConfig(NamedTuple):
+    orb: orb.ORBConfig = orb.ORBConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    local_mapping: LocalMappingConfig = LocalMappingConfig()
+    max_keyframes: int = 512
+    max_landmarks: int = 60000
+    loop_detection: bool = False  # SLAM.LoopDetection flag (fusionsystem.cc:9)
+
+
+class SlamSystem:
+    def __init__(self, cam: Camera, cfg: SystemConfig = SystemConfig()):
+        self.cam = cam
+        self.cfg = cfg
+        self.store = MapStore(
+            max_keyframes=cfg.max_keyframes,
+            max_landmarks=cfg.max_landmarks,
+            feats_per_kf=cfg.orb.max_features,
+        )
+        self.tracker = Tracker(self.store, cam, cfg.tracking)
+        self.local_mapper = LocalMapper(self.store, cam, cfg.local_mapping)
+        self.tracker.new_kf_callback = self._on_new_keyframe
+        self.loop_closer = None  # attached by loop/closing.py when enabled
+
+    def _on_new_keyframe(self, kf: int):
+        self.local_mapper.process_keyframe(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    # Tracking entry points (System::TrackFusion / TrackMonocular parity)
+    # ------------------------------------------------------------------
+
+    def track_fusion(self, image: jnp.ndarray, cloud_cam: jnp.ndarray):
+        """Visual-LiDAR fusion: camera-frame cloud supplies keypoint depth."""
+        frame = build_frame(image, self.cam, self.cfg.orb, cloud_cam=cloud_cam)
+        return self.tracker.track(frame)
+
+    def track_depth(self, image: jnp.ndarray, depth_img: jnp.ndarray):
+        """RGBD-style entry (depth image already in the camera frame)."""
+        frame = build_frame(image, self.cam, self.cfg.orb, depth_img=depth_img)
+        return self.tracker.track(frame)
+
+    def track_frame(self, frame: Frame):
+        """Pre-built frame entry (tests / custom frontends)."""
+        return self.tracker.track(frame)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def state(self) -> int:
+        return self.tracker.state
+
+    def num_keyframes(self) -> int:
+        return int(self.store.kf_valid.sum())
+
+    def num_landmarks(self) -> int:
+        return int(self.store.lm_valid.sum())
+
+    def reset(self):
+        """System::Reset (System.cc:338): clear map + tracking state."""
+        self.store.reset()
+        self.tracker.__init__(self.store, self.cam, self.cfg.tracking)
+        self.tracker.new_kf_callback = self._on_new_keyframe
+        self.local_mapper.__init__(self.store, self.cam, self.cfg.local_mapping)
+
+    # ------------------------------------------------------------------
+    # Trajectory recovery + savers
+    # ------------------------------------------------------------------
+
+    def get_trajectory(self) -> np.ndarray:
+        """Per-frame camera-to-world 4x4 poses, recovered as
+        T_wc = (T_rel · T_ref_w)^{-1} with the *current* (BA/loop-corrected)
+        reference keyframe poses (System.cc:503-560 semantics)."""
+        out = []
+        for frame_id, ref_kf, R_rel, t_rel in self.tracker.trajectory:
+            R_ref = self.store.kf_R[ref_kf]
+            t_ref = self.store.kf_t[ref_kf]
+            R_cw = R_rel @ R_ref
+            t_cw = R_rel @ t_ref + t_rel
+            R_wc = R_cw.T
+            t_wc = -R_cw.T @ t_cw
+            T = np.eye(4, dtype=np.float64)
+            T[:3, :3] = R_wc
+            T[:3, 3] = t_wc
+            out.append(T)
+        return np.stack(out) if out else np.zeros((0, 4, 4))
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI 3x4 row-major format (System::SaveTrajectoryKITTI)."""
+        T = self.get_trajectory()
+        with open(path, "w") as f:
+            for P in T:
+                row = P[:3].reshape(-1)
+                f.write(" ".join(f"{x:.9e}" for x in row) + "\n")
+
+    def save_trajectory_tum(self, path: str, timestamps=None):
+        """TUM format: `t tx ty tz qx qy qz qw` (System.cc:364-499)."""
+        from ..geometry import so3
+
+        T = self.get_trajectory()
+        with open(path, "w") as f:
+            for i, P in enumerate(T):
+                ts = timestamps[i] if timestamps is not None else float(i)
+                q = np.asarray(so3.mat_to_quat(jnp.asarray(P[:3, :3])))  # w x y z
+                t = P[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )

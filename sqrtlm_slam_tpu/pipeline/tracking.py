@@ -1,0 +1,331 @@
+"""Tracking: per-frame state machine driving jitted matching + pose stages.
+
+TPU-native redesign of `Tracking` (/root/reference/src/frontend/Tracking.cc):
+  * state machine NOT_INITIALIZED / OK / LOST (Tracking.h:141-147)
+  * `FusionInitialization` (:930-1012) — first frame with enough
+    depth-carrying keypoints becomes the map seed; every depth>0 keypoint
+    becomes a landmark.
+  * `TrackWithMotionModel` (:1503-1584) — constant-velocity prediction,
+    projection search radius 15 (fallback widened x2), pose-only LM.
+  * `TrackLocalMap` (:1602-1668) — covisibility local map projection search,
+    second pose optimization, inlier gate >= 30 (>= 50 after reloc).
+  * `NeedNewKeyFrame`/`CreateNewKeyFrame` (:1683-1953) with the close-point
+    rule (tracked close < 125 && non-tracked close > 70 -> need KF :1747).
+  * Relocalization (:2334-2554) is handled in pipeline/reloc.py.
+
+The device side is two fused stages (match+optimize each); the host side is
+only the decision logic. Local-map gathering is a numpy scatter from the
+SoA store into fixed-capacity device buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..factors.reprojection import Camera
+from ..frontend import matching
+from ..geometry import se3
+from ..mapstore import MapStore
+from ..optim import pose_opt
+from .frame import Frame
+
+
+class TrackingConfig(NamedTuple):
+    match_radius_motion: float = 15.0  # SearchByProjection r (Tracking.cc:1503)
+    match_radius_local: float = 7.0
+    min_matches_motion: int = 20
+    min_inliers_track: int = 10
+    min_inliers_local: int = 30  # TrackLocalMap gate (Tracking.cc:1648)
+    local_map_capacity: int = 2048  # projected-landmark buffer
+    local_kf_cap: int = 20  # covisible KFs forming the local map (cap 80 ref)
+    init_min_depth_kp: int = 200  # FusionInitialization needs >500 kp (ref)
+    kf_min_interval: int = 0
+    kf_max_interval: int = 10
+    kf_tracked_ratio: float = 0.75  # insert KF if inliers < ratio * ref
+    close_depth: float = 40.0  # ThDepth-scaled close/far split (cfg ThDepth 125 -> ~40 m)
+    kf_close_tracked: int = 100  # close-point rule (Tracking.cc:1747)
+    kf_close_untracked: int = 70
+    max_landmarks_per_kf: int = 300
+
+
+class TrackState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+class LocalMapBuffer(NamedTuple):
+    """Fixed-capacity landmark buffer gathered from the store."""
+
+    ids: jnp.ndarray  # (M,) landmark ids (host bookkeeping)
+    pos: jnp.ndarray  # (M, 3)
+    desc: jnp.ndarray  # (M, 8) uint32
+    valid: jnp.ndarray  # (M,)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "radius_px"))
+def match_and_optimize(
+    pose_guess: se3.SE3,
+    lm: LocalMapBuffer,
+    frame: Frame,
+    cam: Camera,
+    radius_px: float,
+):
+    """One tracking stage: project landmarks, window-match, pose-only LM.
+
+    Returns (pose, lm_match_idx (M,), lm_match_valid (M,), num_inliers).
+    """
+    # Project landmarks with the pose guess.
+    x_c = se3.act(pose_guess, lm.pos)
+    uv_pred = cam.project(x_c)
+    in_front = x_c[..., 2] > 0.5
+    proj_ok = lm.valid & in_front
+
+    window = matching.projection_window_mask(uv_pred, frame.kp.xy, radius_px)
+    res = matching.match_descriptors(
+        lm.desc,
+        frame.kp.desc,
+        proj_ok,
+        frame.kp.valid,
+        window_mask=window,
+        max_dist=matching.TH_HIGH,
+        ratio=0.9,
+        mutual=True,
+    )
+
+    obs = pose_opt.VisualObs(
+        points_w=lm.pos,
+        uvr=frame.uvr[res.idx],
+        inv_sigma2=frame.inv_sigma2[res.idx],
+        valid=res.valid,
+    )
+    result = pose_opt.optimize_pose(pose_guess, obs, cam)
+    return result.pose, res.idx, res.valid & result.inlier_mask, result.num_inliers
+
+
+class Tracker:
+    """Host-side tracking state machine (one instance per SLAM system)."""
+
+    def __init__(self, store: MapStore, cam: Camera, cfg: TrackingConfig = TrackingConfig()):
+        self.store = store
+        self.cam = cam
+        self.cfg = cfg
+        self.state = TrackState.NOT_INITIALIZED
+        self.pose = se3.identity()  # T_cw of the last tracked frame
+        self.velocity = jnp.zeros(6)
+        self.ref_kf: int = -1
+        self.frames_since_kf = 0
+        self.frame_idx = -1
+        self.last_inliers = 0
+        # Per-frame relative poses for trajectory recovery
+        # (mlRelativeFramePoses, Tracking.cc:566-587): (frame_id, ref_kf, T_rel).
+        self.trajectory: list = []
+        self.last_lm_ids: Optional[np.ndarray] = None  # landmarks seen last frame
+        self.new_kf_callback = None  # set by the system (local mapping hook)
+
+    # ------------------------------------------------------------------
+
+    def _gather_local_map(self) -> tuple:
+        """Local map = landmarks of ref KF + its best covisible KFs
+        (UpdateLocalKeyFrames/Points, Tracking.cc:2114-2260)."""
+        cap = self.cfg.local_map_capacity
+        kfs = [self.ref_kf] + list(
+            self.store.best_covisible(self.ref_kf, self.cfg.local_kf_cap)
+        )
+        lm_ids = np.unique(self.store.kf_obs_lm[kfs])
+        lm_ids = lm_ids[(lm_ids >= 0)]
+        lm_ids = lm_ids[self.store.lm_valid[lm_ids]][:cap]
+        return self._buffer_from_ids(lm_ids)
+
+    def _buffer_from_ids(self, lm_ids: np.ndarray) -> LocalMapBuffer:
+        cap = self.cfg.local_map_capacity
+        n = len(lm_ids)
+        ids = np.full(cap, -1, np.int32)
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        valid = np.zeros(cap, bool)
+        ids[:n] = lm_ids
+        pos[:n] = self.store.lm_pos[lm_ids]
+        desc[:n] = self.store.lm_desc[lm_ids]
+        valid[:n] = True
+        return LocalMapBuffer(
+            ids=jnp.asarray(ids),
+            pos=jnp.asarray(pos),
+            desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _initialize(self, frame: Frame) -> bool:
+        """FusionInitialization: seed the map from depth keypoints."""
+        depth_ok = np.asarray(frame.depth > 0)
+        kp_ok = np.asarray(frame.kp.valid)
+        usable = depth_ok & kp_ok
+        if usable.sum() < self.cfg.init_min_depth_kp:
+            return False
+
+        self.pose = se3.identity()
+        kf = self._insert_keyframe(frame)
+        self.state = TrackState.OK
+        self.last_inliers = int(usable.sum())
+        self._record_trajectory()
+        return True
+
+    def _insert_keyframe(self, frame: Frame) -> int:
+        """Create a keyframe + landmarks from depth (CreateNewKeyFrame).
+
+        New landmarks come from depth-carrying keypoints not already matched
+        to the map, nearest-first, capped (UpdateLastFrame/CreateNewKeyFrame
+        close-point creation, Tracking.cc:1385-1492, 1846-1953)."""
+        store = self.store
+        R = np.asarray(self.pose.R)
+        t = np.asarray(self.pose.t)
+        kp = frame.kp
+        kf = store.add_keyframe(
+            R=R,
+            t=t,
+            xy=np.asarray(kp.xy),
+            uvr=np.asarray(frame.uvr),
+            depth=np.asarray(frame.depth),
+            desc=np.asarray(kp.desc),
+            angle=np.asarray(kp.angle),
+            octave=np.asarray(kp.octave),
+            kp_valid=np.asarray(kp.valid),
+            frame_id=self.frame_idx,
+        )
+
+        # Existing map matches from the last tracking stage.
+        matched_kp = set()
+        if self.last_lm_ids is not None:
+            for lm_id, kp_idx in self.last_lm_ids:
+                store.add_observation(int(lm_id), kf, int(kp_idx))
+                matched_kp.add(int(kp_idx))
+
+        # New landmarks from unmatched depth keypoints, nearest-first.
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(kp.valid) & (depth > 0)
+        cand = [i for i in np.argsort(np.where(valid, depth, np.inf)) if valid[i] and i not in matched_kp]
+        T_wc_R = R.T
+        C = -R.T @ t
+        n_new = 0
+        xy = np.asarray(kp.xy)
+        desc = np.asarray(kp.desc)
+        for i in cand:
+            if n_new >= self.cfg.max_landmarks_per_kf:
+                break
+            z = depth[i]
+            x_cam = np.array(
+                [
+                    (xy[i, 0] - self.cam.cx) * z / self.cam.fx,
+                    (xy[i, 1] - self.cam.cy) * z / self.cam.fy,
+                    z,
+                ],
+                np.float32,
+            )
+            pos_w = T_wc_R @ x_cam + C
+            lm = store.add_landmark(pos_w, desc[i], kf)
+            store.add_observation(lm, kf, int(i))
+            n_new += 1
+
+        store.update_connections(kf)
+        new_lms = store.kf_obs_lm[kf]
+        store.update_landmark_stats(new_lms[new_lms >= 0])
+        self.ref_kf = kf
+        self.frames_since_kf = 0
+        if self.new_kf_callback is not None:
+            self.new_kf_callback(kf)
+        return kf
+
+    # ------------------------------------------------------------------
+
+    def _need_keyframe(self, num_inliers: int, frame: Frame) -> bool:
+        """Keyframe policy ((c1a||c1b||c1c)&&c2 + close-point rule,
+        Tracking.cc:1683-1835)."""
+        if self.frames_since_kf < self.cfg.kf_min_interval:
+            return False
+        if self.frames_since_kf >= self.cfg.kf_max_interval:
+            return True
+        ref_obs = int((self.store.kf_obs_lm[self.ref_kf] >= 0).sum())
+        weak = num_inliers < self.cfg.kf_tracked_ratio * max(ref_obs, 1)
+
+        # Close-point rule: few tracked close points but many creatable ones.
+        depth = np.asarray(frame.depth)
+        close = (depth > 0) & (depth < self.cfg.close_depth)
+        tracked_close = 0
+        if self.last_lm_ids is not None:
+            kp_idx = self.last_lm_ids[:, 1]
+            tracked_close = int(close[kp_idx].sum())
+        untracked_close = int(close.sum()) - tracked_close
+        close_rule = (
+            tracked_close < self.cfg.kf_close_tracked
+            and untracked_close > self.cfg.kf_close_untracked
+        )
+        return weak or close_rule
+
+    def _record_trajectory(self):
+        """Store T_cur_ref = T_cw · T_ref_w^{-1} (relative to ref KF)."""
+        R_ref = self.store.kf_R[self.ref_kf]
+        t_ref = self.store.kf_t[self.ref_kf]
+        T_ref = se3.SE3(jnp.asarray(R_ref), jnp.asarray(t_ref))
+        T_rel = se3.compose(self.pose, se3.inverse(T_ref))
+        self.trajectory.append((self.frame_idx, self.ref_kf, np.asarray(T_rel.R), np.asarray(T_rel.t)))
+
+    # ------------------------------------------------------------------
+
+    def track(self, frame: Frame) -> Optional[se3.SE3]:
+        """Track one frame; returns the frame pose T_cw (None while
+        uninitialized). The reference's TrackFusion (Tracking.cc:366-588)."""
+        self.frame_idx += 1
+        self.frames_since_kf += 1
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            if self._initialize(frame):
+                return self.pose
+            return None
+
+        # --- stage A: motion model vs last frame's landmarks ---
+        guess = se3.retract(self.pose, self.velocity)
+        lm_buffer = self._gather_local_map()
+        pose, m_idx, m_valid, n_inliers = match_and_optimize(
+            guess, lm_buffer, frame, self.cam, self.cfg.match_radius_motion
+        )
+        if int(n_inliers) < self.cfg.min_inliers_track:
+            # Widened-window fallback (reference retries with 2x radius).
+            pose, m_idx, m_valid, n_inliers = match_and_optimize(
+                guess, lm_buffer, frame, self.cam, self.cfg.match_radius_motion * 2
+            )
+
+        # --- stage B: track local map (tighter radius at refined pose) ---
+        pose, m_idx, m_valid, n_inliers = match_and_optimize(
+            pose, lm_buffer, frame, self.cam, self.cfg.match_radius_local
+        )
+
+        n = int(n_inliers)
+        if n < self.cfg.min_inliers_local:
+            self.state = TrackState.LOST
+            self.velocity = jnp.zeros(6)
+            return None
+
+        # Bookkeeping: matched landmark -> keypoint pairs (host side).
+        ids = np.asarray(lm_buffer.ids)
+        mi = np.asarray(m_idx)
+        mv = np.asarray(m_valid)
+        sel = mv & (ids >= 0)
+        self.last_lm_ids = np.stack([ids[sel], mi[sel]], axis=-1)
+
+        self.velocity = se3.local_delta(pose, self.pose)
+        prev_pose = self.pose
+        self.pose = pose
+        self.state = TrackState.OK
+        self.last_inliers = n
+
+        if self._need_keyframe(n, frame):
+            self._insert_keyframe(frame)
+        self._record_trajectory()
+        return pose
