@@ -41,15 +41,20 @@ def main():
         )
         return out, chi2
 
-    # Warm-up (compile).
+    chi2_0 = float(
+        schur.build_normal_equations(problem, DEFAULT_CAM, problem.obs_valid, None)[-1]
+    )
+
+    # Warm-up (compile). float() forces a host round-trip — on the remote
+    # axon platform block_until_ready alone does not synchronize.
     out, chi2 = ba_step(problem)
-    jax.block_until_ready(chi2)
+    float(chi2)
 
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
         out, chi2 = ba_step(problem)
-    jax.block_until_ready(chi2)
+        last = float(chi2)
     dt = time.perf_counter() - t0
 
     iters_s = n_calls * ITERS_PER_CALL / dt
@@ -57,7 +62,7 @@ def main():
     print(
         f"[bench] device={jax.devices()[0].platform} poses={P} landmarks={L} "
         f"edges={edges} {n_calls}x{ITERS_PER_CALL} LM iters in {dt:.3f}s "
-        f"chi2={float(chi2):.1f}",
+        f"chi2 {chi2_0:.1f} -> {last:.1f}",
         file=sys.stderr,
     )
     print(

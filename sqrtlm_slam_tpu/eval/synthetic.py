@@ -65,6 +65,41 @@ class SyntheticWorld:
         return jnp.asarray(img), jnp.asarray(depth)
 
 
+def ring_world(seed: int = 0, n_points: int = 2000, radius: float = 12.0,
+               band: float = 6.0, pattern_size: int = 7) -> "SyntheticWorld":
+    """World with points scattered in an annulus around a circular path —
+    re-observable from every point of the ring (loop-closure scenarios)."""
+    w = SyntheticWorld(seed=seed, n_points=n_points, pattern_size=pattern_size)
+    rng = np.random.RandomState(seed + 1)
+    a = rng.uniform(0, 2 * np.pi, n_points)
+    r = radius + rng.uniform(-band, band, n_points)
+    w.points = np.stack(
+        [np.cos(a) * r, rng.uniform(-2.0, 2.0, n_points), np.sin(a) * r], axis=-1
+    ).astype(np.float32)
+    return w
+
+
+def ring_trajectory(n_frames: int, radius: float = 12.0, frac: float = 1.0):
+    """T_cw poses driving around a circle in the XZ plane, heading tangent.
+
+    `frac` > 1 re-traverses the start (loop closure); camera +z = forward.
+    """
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * frac * i / n_frames
+        c_w = np.array([np.cos(a) * radius, 0.0, np.sin(a) * radius])
+        fwd = np.array([-np.sin(a), 0.0, np.cos(a)])  # tangent (+z cam)
+        up = np.array([0.0, -1.0, 0.0])  # cam +y down
+        right = np.cross(up, fwd)
+        R_wc = np.stack([right, -up, fwd], axis=-1)  # cols: cam x,y,z in world
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c_w
+        poses.append(
+            se3.SE3(jnp.asarray(R_cw, dtype=jnp.float32), jnp.asarray(t_cw, dtype=jnp.float32))
+        )
+    return poses
+
+
 def forward_trajectory(n_frames: int, step: float = 0.4, yaw_rate: float = 0.004):
     """Ground-truth T_cw poses for a gently curving forward path."""
     poses = []
@@ -90,6 +125,7 @@ def make_ba_problem(
     point_noise: float = 0.05,
     stereo_frac: float = 0.6,
     n_fixed: int = 2,
+    spacing: float = 0.15,
 ):
     """Synthetic BA problem (dense observation matrix) for benches/dry-runs.
 
@@ -104,7 +140,7 @@ def make_ba_problem(
     key = jax.random.PRNGKey(seed)
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     t_true = jnp.stack(
-        [jnp.arange(P) * 1.0, jnp.zeros(P), jnp.zeros(P)], axis=-1
+        [jnp.arange(P) * spacing, jnp.zeros(P), jnp.zeros(P)], axis=-1
     ) + jax.random.normal(k1, (P, 3)) * 0.1
     w_true = jax.random.normal(k2, (P, 3)) * 0.02
     R_true = jax.vmap(lambda w: se3.exp(jnp.concatenate([jnp.zeros(3), w])).R)(w_true)
@@ -112,7 +148,7 @@ def make_ba_problem(
     poses_true = se3.SE3(R_true, pose_t)
 
     points_true = jax.random.normal(k3, (L, 3)) * jnp.array([6.0, 3.0, 4.0]) + jnp.array(
-        [P / 2.0, 0.0, 18.0]
+        [P * spacing / 2.0, 0.0, 18.0]
     )
 
     obs_cam = jnp.repeat(jnp.arange(P, dtype=jnp.int32), L)

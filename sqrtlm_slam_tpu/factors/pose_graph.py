@@ -62,15 +62,27 @@ def sim3_relative_residual(S_iw: sim3.Sim3, S_jw: sim3.Sim3, S_ji_meas: sim3.Sim
 def sim3_relative_residual_jac(
     S_iw: sim3.Sim3, S_jw: sim3.Sim3, S_ji_meas: sim3.Sim3
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Residual + Jacobians w.r.t. left-mult 7-dim tangents of both endpoints."""
+    """Residual + Jacobians w.r.t. left-mult 7-dim tangents of both endpoints.
 
-    def res(di, dj):
-        return sim3_relative_residual(
-            sim3.retract(S_iw, di), sim3.retract(S_jw, dj), S_ji_meas
-        )
+    Batched inputs (leading dims) are vmapped edge-wise so each edge gets its
+    own (7, 7) endpoint Jacobians (no cross-edge terms).
+    """
 
-    zero = jnp.zeros(S_iw.t.shape[:-1] + (7,), dtype=S_iw.t.dtype)
-    r = res(zero, zero)
-    J_i = jax.jacfwd(res, argnums=0)(zero, zero)
-    J_j = jax.jacfwd(res, argnums=1)(zero, zero)
-    return r, J_i, J_j
+    def single(S_i, S_j, S_meas):
+        def res(di, dj):
+            return sim3_relative_residual(
+                sim3.retract(S_i, di), sim3.retract(S_j, dj), S_meas
+            )
+
+        zero = jnp.zeros(7, dtype=S_i.t.dtype)
+        r = res(zero, zero)
+        J_i = jax.jacfwd(res, argnums=0)(zero, zero)
+        J_j = jax.jacfwd(res, argnums=1)(zero, zero)
+        return r, J_i, J_j
+
+    if S_iw.t.ndim == 1:
+        return single(S_iw, S_jw, S_ji_meas)
+    fn = single
+    for _ in range(S_iw.t.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(S_iw, S_jw, S_ji_meas)

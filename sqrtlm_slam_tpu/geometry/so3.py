@@ -67,7 +67,10 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     """
     q = mat_to_quat(R)  # canonical hemisphere: qw >= 0
     qw, xyz = q[..., 0], q[..., 1:]
-    sin_half = jnp.linalg.norm(xyz, axis=-1)
+    # norm() has a NaN derivative at 0 (the identity rotation — exactly where
+    # pose-graph residuals of consistent edges sit); the eps-smoothed sqrt
+    # keeps jacfwd finite there.
+    sin_half = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1) + _EPS * _EPS)
     theta = 2.0 * jnp.arctan2(sin_half, qw)
     small = sin_half < 1e-6
     # w = (theta / sin(theta/2)) * xyz; Taylor near zero: scale -> 2 + theta^2/12.

@@ -308,6 +308,215 @@ def local_ba(
     return problem, survivors, stats
 
 
+# ----------------------------------------------------------------------
+# Matrix-free Schur + PCG — the whole-map scale path.
+#
+# The dense-W layout above is ideal for local windows (matmul-shaped for
+# the MXU) but costs P*6*L*3 floats; a full map (10^3 KFs x 10^5 landmarks)
+# doesn't fit. Here the reduced camera system S = Hpp - W Hll^-1 W^T is
+# never materialized: its action on a vector is three edge-wise batched
+# (k x 6)/(k x 3) contractions + segment-sums — O(E) per matvec, exactly
+# the compute pattern TPUs stream fastest. Solved by block-Jacobi
+# preconditioned CG. This replaces g2o's sparse CHOLMOD factorization in
+# `GlobalBundleAdjustemnt` (g2oOptimizer.cc:80-385) with an
+# iteration-parallel method that also distributes trivially (one psum of
+# the per-shard matvec pieces).
+# ----------------------------------------------------------------------
+
+
+def _edge_data(problem: BAProblem, cam: reproj.Camera, active, robust_delta):
+    """Per-edge Jacobians/weights + assembled block-diagonals (no dense W)."""
+    P, L = problem.num_poses, problem.num_points
+    r, Jp, Jl, w, chi2, _ = _edge_terms(problem, cam, active, robust_delta)
+    free_pose = (~problem.pose_fixed)[problem.obs_cam]
+    Jp = Jp * free_pose[..., None, None].astype(Jp.dtype)
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ekj->eij", Jp, w, Jp), problem.obs_cam, num_segments=P
+    )
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ekj->eij", Jl, w, Jl), problem.obs_pt, num_segments=L
+    )
+    bp = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jp, w, r), problem.obs_cam, num_segments=P
+    )
+    bl = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jl, w, r), problem.obs_pt, num_segments=L
+    )
+    return r, Jp, Jl, w, Hpp, Hll, bp, bl, chi2
+
+
+def _schur_matvec(v, Jp, Jl, w, obs_cam, obs_pt, Hpp_d, Hll_inv, pose_fixed):
+    """S @ v for v (P, 6) without materializing W. Returns (P, 6)."""
+    P, L = Hpp_d.shape[0], Hll_inv.shape[0]
+    v = jnp.where(pose_fixed[:, None], 0.0, v)
+    tmp = jnp.einsum("ekj,ej->ek", Jp, v[obs_cam])  # (E, k)
+    Wt_v = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jl, w, tmp), obs_pt, num_segments=L
+    )  # (L, 3)
+    y = jnp.einsum("lij,lj->li", Hll_inv, Wt_v)
+    z = jnp.einsum("ekj,ej->ek", Jl, y[obs_pt])  # (E, k)
+    Wy = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jp, w, z), obs_cam, num_segments=P
+    )  # (P, 6)
+    Sv = jnp.einsum("pij,pj->pi", Hpp_d, v) - Wy
+    # Gauge: fixed poses act as identity rows.
+    return jnp.where(pose_fixed[:, None], v, Sv)
+
+
+def _pcg(matvec, b, Minv_blocks, pose_fixed, max_iters: int, tol: float):
+    """Block-Jacobi preconditioned CG on the reduced camera system."""
+    b = jnp.where(pose_fixed[:, None], 0.0, b)
+
+    def precond(r):
+        return jnp.einsum("pij,pj->pi", Minv_blocks, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-20)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < max_iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, _, _, _, n = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x, n
+
+
+def cg_reduce_and_solve(
+    problem: BAProblem,
+    cam: reproj.Camera,
+    active,
+    robust_delta,
+    mu,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+):
+    """One damped-GN step via matrix-free Schur + PCG.
+
+    Returns (dxp (P,6), dxl (L,3), chi2, bp, bl, cg_n)."""
+    P, L = problem.num_poses, problem.num_points
+    r, Jp, Jl, w, Hpp, Hll, bp, bl, chi2 = _edge_data(
+        problem, cam, active, robust_delta
+    )
+    dtype = Hpp.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    Hll_d = jnp.where(problem.point_valid[:, None, None], Hll + mu * eye3, eye3)
+    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hpp_d = Hpp + mu * eye6
+
+    # rhs = -(bp - W Hll_inv bl), edge-wise.
+    y = jnp.einsum("lij,lj->li", Hll_inv, bl)
+    z = jnp.einsum("ekj,ej->ek", Jl, y[problem.obs_pt])
+    Wy = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jp, w, z), problem.obs_cam, num_segments=P
+    )
+    rhs = -(bp - Wy)
+
+    matvec = lambda v: _schur_matvec(
+        v, Jp, Jl, w, problem.obs_cam, problem.obs_pt, Hpp_d, Hll_inv,
+        problem.pose_fixed,
+    )
+    # Preconditioner: inverse of the damped pose blocks (+identity fallback).
+    diag_ok = problem.pose_valid & ~problem.pose_fixed
+    M = jnp.where(diag_ok[:, None, None], Hpp_d, eye6)
+    Minv = jnp.linalg.inv(M + 1e-8 * eye6)
+
+    dxp, cg_n = _pcg(matvec, rhs, Minv, problem.pose_fixed, cg_iters, cg_tol)
+    dxp = jnp.where(problem.pose_fixed[:, None], 0.0, dxp)
+
+    # Back-substitution, edge-wise: dxl = Hll_inv(-bl - W^T dxp).
+    tmp = jnp.einsum("ekj,ej->ek", Jp, dxp[problem.obs_cam])
+    Wt_dxp = jax.ops.segment_sum(
+        jnp.einsum("eki,e,ek->ei", Jl, w, tmp), problem.obs_pt, num_segments=L
+    )
+    dxl = jnp.einsum("lij,lj->li", Hll_inv, -bl - Wt_dxp)
+    dxl = jnp.where(problem.point_valid[:, None], dxl, 0.0)
+    return dxp, dxl, chi2, bp, bl, cg_n
+
+
+def ba_iterate_cg(
+    problem: BAProblem,
+    cam: reproj.Camera,
+    active,
+    num_iters: int,
+    robust_delta: Optional[float],
+    tau: float = 1e-5,
+    cg_iters: int = 100,
+) -> Tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
+    """LM loop using the matrix-free PCG step (whole-map scale)."""
+    _, _, _, _, Hpp0, Hll0, _, _, chi20 = _edge_data(
+        problem, cam, active, robust_delta
+    )
+    maxdiag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(Hpp0, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
+    )
+    mu0 = tau * jnp.maximum(maxdiag, 1e-10)
+
+    def body(carry, _):
+        prob, chi2, mu, nu, n_acc = carry
+        dxp, dxl, _, bp, bl, _ = cg_reduce_and_solve(
+            prob, cam, active, robust_delta, mu, cg_iters=cg_iters
+        )
+        candidate = _apply_update(prob, dxp, dxl)
+        _, _, _, _, _, _, _, _, chi2_c = _edge_data(
+            candidate, cam, active, robust_delta
+        )
+        dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
+        b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
+        predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
+        rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
+        accept = (rho > 0) & jnp.isfinite(chi2_c)
+        prob_new = jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), candidate, prob
+        )
+        chi2_new = jnp.where(accept, chi2_c, chi2)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_new = jnp.where(accept, mu * factor, mu * nu)
+        nu_new = jnp.where(accept, 2.0, nu * 2.0)
+        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+
+    init = (problem, chi20, mu0, jnp.asarray(2.0, chi20.dtype), jnp.asarray(0, jnp.int32))
+    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return problem, chi2, n_acc
+
+
+def global_ba_cg(
+    problem: BAProblem, cam: reproj.Camera, num_iters: int = 20
+) -> Tuple[BAProblem, jnp.ndarray, BAStats]:
+    """Whole-map global BA on the matrix-free engine (jit-wrapped by size)."""
+    delta2 = math.sqrt(losses.CHI2_2DOF)
+    run = jax.jit(
+        lambda p: ba_iterate_cg(
+            p, cam, p.obs_valid, num_iters, robust_delta=delta2
+        ),
+        static_argnums=(),
+    )
+    problem, chi2, acc = run(problem)
+    is_stereo = problem.obs_uvr[..., 2] >= 0.0
+    gate = jnp.where(is_stereo, losses.CHI2_3DOF, losses.CHI2_2DOF)
+    e2, z = edge_chi2_and_depth(problem, cam)
+    survivors = problem.obs_valid & (e2 <= gate) & (z > 0)
+    stats = BAStats(chi2=chi2, num_inlier_edges=jnp.sum(survivors), iters_accepted=acc)
+    return problem, survivors, stats
+
+
 def global_ba(
     problem: BAProblem, cam: reproj.Camera, num_iters: int = 20
 ) -> Tuple[BAProblem, jnp.ndarray, BAStats]:

@@ -29,6 +29,7 @@ from ..factors.reprojection import Camera
 from ..geometry import se3
 from ..mapstore import MapStore
 from ..optim import schur
+from . import triangulation
 
 
 class LocalMappingConfig(NamedTuple):
@@ -40,6 +41,9 @@ class LocalMappingConfig(NamedTuple):
     min_obs_after: int = 2  # required observers once mature
     cull_redundancy: float = 0.9  # KeyFrameCulling 90% rule
     cull_min_obs: int = 3
+    triangulate: bool = True  # CreateNewMapPoints (LocalMapping.cc:329)
+    tri_neighbors: int = 6  # covisible neighbors searched (10/20 in ref)
+    tri_max_new: int = 200  # new landmarks per keyframe pair cap
 
 
 class LocalMapper:
@@ -56,9 +60,64 @@ class LocalMapper:
         """Full local-mapping pass for a freshly inserted keyframe."""
         self.store.update_connections(kf)
         self.map_point_culling(kf)
+        if self.cfg.triangulate and self.store.num_kf >= 2:
+            self.create_new_map_points(kf)
         if self.store.num_kf >= 3:
             self.local_ba(kf)
         self.keyframe_culling(kf)
+
+    # ------------------------------------------------------------------
+
+    def create_new_map_points(self, kf: int):
+        """Triangulate new landmarks against the best covisible neighbors
+        (CreateNewMapPoints, LocalMapping.cc:329-661). Only keypoints not
+        already bound to a landmark participate; accepted pairs become
+        landmarks observed in both keyframes."""
+        store, cfg = self.store, self.cfg
+        T1 = se3.SE3(jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]))
+        free1 = store.kf_kp_valid[kf] & (store.kf_obs_lm[kf] < 0)
+        sigma2 = (1.2 ** (2 * store.kf_octave[kf])).astype(np.float32)
+        n_created = 0
+        for nb in store.best_covisible(kf, cfg.tri_neighbors):
+            nb = int(nb)
+            # Baseline check: skip neighbors too close for parallax
+            # (LocalMapping.cc:398-420 baseline/medianDepth gate, simplified).
+            base = np.linalg.norm(store.kf_center(kf) - store.kf_center(nb))
+            if base < 0.05:
+                continue
+            T2 = se3.SE3(jnp.asarray(store.kf_R[nb]), jnp.asarray(store.kf_t[nb]))
+            free2 = store.kf_kp_valid[nb] & (store.kf_obs_lm[nb] < 0)
+            res = triangulation.match_and_triangulate(
+                T1, T2, self.cam,
+                jnp.asarray(store.kf_xy[kf]), jnp.asarray(store.kf_desc[kf]),
+                jnp.asarray(free1), jnp.asarray(sigma2),
+                jnp.asarray(store.kf_xy[nb]), jnp.asarray(store.kf_desc[nb]),
+                jnp.asarray(free2),
+                jnp.asarray((1.2 ** (2 * store.kf_octave[nb])).astype(np.float32)),
+                angles1=jnp.asarray(store.kf_angle[kf]),
+                angles2=jnp.asarray(store.kf_angle[nb]),
+            )
+            ok = np.where(np.asarray(res.valid))[0]
+            pts = np.asarray(res.points_w)
+            idx2 = np.asarray(res.idx2)
+            new_here = []
+            for i in ok[: cfg.tri_max_new]:
+                if store.kf_obs_lm[kf, i] >= 0 or store.kf_obs_lm[nb, idx2[i]] >= 0:
+                    continue  # bound by an earlier neighbor pass
+                if store.num_lm >= store.max_landmarks:
+                    break
+                lm = store.add_landmark(pts[i], store.kf_desc[kf, i], kf)
+                store.add_observation(lm, kf, int(i))
+                store.add_observation(lm, nb, int(idx2[i]))
+                new_here.append(lm)
+                n_created += 1
+            if new_here:
+                store.update_landmark_stats(np.asarray(new_here))
+                self.watch_landmarks(np.asarray(new_here), kf)
+                free1 = store.kf_kp_valid[kf] & (store.kf_obs_lm[kf] < 0)
+        if n_created:
+            store.update_connections(kf)
+        return n_created
 
     # ------------------------------------------------------------------
 

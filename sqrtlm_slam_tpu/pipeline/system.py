@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..factors.reprojection import Camera
-from ..frontend import orb
+from ..frontend import orb, vocab as vocab_mod
 from ..geometry import se3
 from ..mapstore import MapStore
 from .frame import Frame, build_frame
@@ -41,18 +41,57 @@ class SystemConfig(NamedTuple):
 
 
 class SlamSystem:
-    def __init__(self, cam: Camera, cfg: SystemConfig = SystemConfig()):
+    def __init__(
+        self,
+        cam: Camera,
+        cfg: SystemConfig = SystemConfig(),
+        vocabulary: Optional["vocab_mod.Vocabulary"] = None,
+        loop_cfg=None,
+    ):
         self.cam = cam
         self.cfg = cfg
+        self.vocabulary = vocabulary
         self.store = MapStore(
             max_keyframes=cfg.max_keyframes,
             max_landmarks=cfg.max_landmarks,
             feats_per_kf=cfg.orb.max_features,
+            num_words=vocabulary.num_words if vocabulary is not None else 1000,
         )
         self.tracker = Tracker(self.store, cam, cfg.tracking)
         self.local_mapper = LocalMapper(self.store, cam, cfg.local_mapping)
         self.tracker.new_kf_callback = self._on_new_keyframe
-        self.loop_closer = None  # attached by loop/closing.py when enabled
+        self.tracker.vocab_hook = self._assign_words
+        from ..loop.database import KeyFrameDatabase
+
+        self.tracker.reloc_db = KeyFrameDatabase(self.store)
+        self.loop_closer = None
+        if cfg.loop_detection:
+            from ..loop import LoopCloser, LoopClosingConfig
+
+            self.loop_closer = LoopCloser(
+                self.store, cam, voc=vocabulary,
+                cfg=loop_cfg or LoopClosingConfig(),
+            )
+
+    def _assign_words(self, desc, valid):
+        """Word ids + BoW vector for a new keyframe; trains a vocabulary
+        lazily from the first keyframe's descriptors when none was given
+        (the reference loads a pre-trained 100 MB ORBvoc binary,
+        System.cc:109 — see frontend/vocab.py for why on-domain training
+        is the TPU-native substitute)."""
+        import numpy as np
+
+        if self.vocabulary is None:
+            d = np.asarray(desc)[np.asarray(valid)]
+            if len(d) < 50:
+                return None, None
+            self.vocabulary = vocab_mod.train(d, k=10, depth=3)
+            if self.loop_closer is not None:
+                self.loop_closer.voc = self.vocabulary
+        voc = self.vocabulary
+        words = vocab_mod.assign_words(voc, jnp.asarray(desc), jnp.asarray(valid))
+        bow = vocab_mod.bow_vector(voc, words)
+        return np.asarray(words), np.asarray(bow)
 
     def _on_new_keyframe(self, kf: int):
         self.local_mapper.process_keyframe(kf)
@@ -73,6 +112,13 @@ class SlamSystem:
         frame = build_frame(image, self.cam, self.cfg.orb, depth_img=depth_img)
         return self.tracker.track(frame)
 
+    def track_monocular(self, image: jnp.ndarray):
+        """Monocular entry (System::TrackMonocular, System.h:127): two-view
+        H/F-RANSAC initialization, then mono tracking with landmarks from
+        local-mapping triangulation."""
+        frame = build_frame(image, self.cam, self.cfg.orb)
+        return self.tracker.track(frame)
+
     def track_frame(self, frame: Frame):
         """Pre-built frame entry (tests / custom frontends)."""
         return self.tracker.track(frame)
@@ -88,6 +134,30 @@ class SlamSystem:
 
     def num_landmarks(self) -> int:
         return int(self.store.lm_valid.sum())
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (the SaveMap/LoadMap the reference left TODO,
+    # System.h:178-181)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        from ..mapstore import checkpoint
+
+        checkpoint.save_map(self.store, path, vocabulary=self.vocabulary)
+
+    @classmethod
+    def load(cls, path: str, cam: Camera, cfg: SystemConfig = SystemConfig(),
+             loop_cfg=None) -> "SlamSystem":
+        """Resume from a map checkpoint: the session starts LOST and
+        relocalizes against the loaded map (localization-mode semantics)."""
+        from ..mapstore import checkpoint
+
+        store, voc = checkpoint.load_map(path)
+        sys_ = cls(cam, cfg, vocabulary=voc, loop_cfg=loop_cfg)
+        sys_.store.__dict__.update(store.__dict__)
+        sys_.tracker.state = TrackState.LOST
+        sys_.tracker.ref_kf = max(store.num_kf - 1, 0)
+        return sys_
 
     def reset(self):
         """System::Reset (System.cc:338): clear map + tracking state."""

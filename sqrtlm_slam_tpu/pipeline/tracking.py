@@ -27,11 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..algorithm import pnp
 from ..factors.reprojection import Camera
 from ..frontend import matching
 from ..geometry import se3
 from ..mapstore import MapStore
 from ..optim import pose_opt
+from . import initializer
 from .frame import Frame
 
 
@@ -78,6 +80,11 @@ def match_and_optimize(
 ):
     """One tracking stage: project landmarks, window-match, pose-only LM.
 
+    ``radius_px <= 0`` disables the projection window — the
+    TrackReferenceKeyFrame fallback (BoW/descriptor-only matching with the
+    stricter 0.75 ratio, Tracking.cc:1317-1377) used when the motion-model
+    prediction is unreliable (first frame after init, post-loss).
+
     Returns (pose, lm_match_idx (M,), lm_match_valid (M,), num_inliers).
     """
     # Project landmarks with the pose guess.
@@ -86,7 +93,13 @@ def match_and_optimize(
     in_front = x_c[..., 2] > 0.5
     proj_ok = lm.valid & in_front
 
-    window = matching.projection_window_mask(uv_pred, frame.kp.xy, radius_px)
+    if radius_px > 0:
+        window = matching.projection_window_mask(uv_pred, frame.kp.xy, radius_px)
+        ratio = 0.9
+    else:
+        window = None
+        proj_ok = lm.valid  # no frustum gate either — pose guess is distrusted
+        ratio = 0.75
     res = matching.match_descriptors(
         lm.desc,
         frame.kp.desc,
@@ -94,7 +107,7 @@ def match_and_optimize(
         frame.kp.valid,
         window_mask=window,
         max_dist=matching.TH_HIGH,
-        ratio=0.9,
+        ratio=ratio,
         mutual=True,
     )
 
@@ -106,6 +119,32 @@ def match_and_optimize(
     )
     result = pose_opt.optimize_pose(pose_guess, obs, cam)
     return result.pose, res.idx, res.valid & result.inlier_mask, result.num_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def recover_pose_no_prior(
+    key: jnp.ndarray, lm: LocalMapBuffer, frame: Frame, cam: Camera
+):
+    """Pose recovery without a motion prior: descriptor-only matching + 3D-3D
+    RANSAC on depth-carrying keypoints.
+
+    This is the TrackReferenceKeyFrame / Relocalization geometry
+    (Tracking.cc:1317-1377, 2334-2554 — BoW match then EPnP RANSAC): the LM
+    optimizer cannot pull a pose in from 50+ px initial error, so a robust
+    closed-form estimate seeds it instead. Returns (pose, num_inliers).
+    """
+    res = matching.match_descriptors(
+        lm.desc, frame.kp.desc, lm.valid, frame.kp.valid,
+        max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
+    )
+    depth = frame.depth[res.idx]
+    uv = frame.kp.xy[res.idx]
+    pts_c = cam.backproject(uv, depth)
+    ok = res.valid & (depth > 0)
+    out = pnp.ransac_pose_3d3d(
+        key, lm.pos, pts_c, uv, ok, frame.inv_sigma2[res.idx], cam
+    )
+    return out.pose, out.num_inliers
 
 
 class Tracker:
@@ -127,6 +166,11 @@ class Tracker:
         self.trajectory: list = []
         self.last_lm_ids: Optional[np.ndarray] = None  # landmarks seen last frame
         self.new_kf_callback = None  # set by the system (local mapping hook)
+        self.vocab_hook = None  # set by the system: (desc, valid) -> (words, bow)
+        self._key = jax.random.PRNGKey(42)  # RANSAC seeds (fallback/reloc)
+        self.reloc_db = None  # KeyFrameDatabase set by the system
+        self.frames_lost = 0
+        self._init_ref: Optional[Frame] = None  # mono init reference frame
 
     # ------------------------------------------------------------------
 
@@ -163,17 +207,83 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _initialize(self, frame: Frame) -> bool:
-        """FusionInitialization: seed the map from depth keypoints."""
+        """FusionInitialization (depth path) or monocular two-view init."""
         depth_ok = np.asarray(frame.depth > 0)
         kp_ok = np.asarray(frame.kp.valid)
         usable = depth_ok & kp_ok
         if usable.sum() < self.cfg.init_min_depth_kp:
+            if depth_ok.sum() == 0:
+                return self._initialize_mono(frame)
             return False
 
         self.pose = se3.identity()
         kf = self._insert_keyframe(frame)
         self.state = TrackState.OK
         self.last_inliers = int(usable.sum())
+        self._record_trajectory()
+        return True
+
+    def _initialize_mono(self, frame: Frame) -> bool:
+        """Monocular two-view initialization (Initializer.cc semantics +
+        CreateInitialMapMonocular, Tracking.cc:650-930): hold a reference
+        frame, match, run the batched H/F RANSAC initializer, normalize the
+        map scale to median depth 1."""
+        if self._init_ref is None:
+            if int(frame.kp.valid.sum()) >= 100:
+                self._init_ref = frame
+            return False
+        ref = self._init_ref
+
+        window = matching.projection_window_mask(ref.kp.xy, frame.kp.xy, 100.0)
+        res = matching.match_descriptors(
+            ref.kp.desc, frame.kp.desc, ref.kp.valid, frame.kp.valid,
+            window_mask=window, max_dist=matching.TH_LOW, ratio=0.9, mutual=True,
+            angles=(ref.kp.angle, frame.kp.angle),
+        )
+        if int(res.valid.sum()) < 100:
+            self._init_ref = frame  # reference resets when matching fails
+            return False
+
+        self._key, sub = jax.random.split(self._key)
+        init = initializer.initialize_two_view(
+            sub, ref.kp.xy, frame.kp.xy[res.idx], res.valid, self.cam
+        )
+        if not bool(init.success):
+            return False
+
+        good = np.asarray(init.good)
+        pts = np.asarray(init.points_w)
+        # Scale normalization: median scene depth -> 1 (Tracking.cc:880-905).
+        med = float(np.median(pts[good][:, 2]))
+        if med <= 0:
+            return False
+        pts = pts / med
+        T21 = se3.SE3(init.T_21.R, init.T_21.t / med)
+
+        # Keyframe 1 at identity, keyframe 2 at T21.
+        self.pose = se3.identity()
+        self.last_lm_ids = None
+        kf1 = self._insert_keyframe(ref)
+        self.pose = T21
+        kf2 = self._insert_keyframe(frame)
+
+        idx2 = np.asarray(res.idx)
+        store = self.store
+        for i in np.where(good)[0]:
+            if store.num_lm >= store.max_landmarks:
+                break
+            lm = store.add_landmark(pts[i], np.asarray(ref.kp.desc[i]), kf1)
+            store.add_observation(lm, kf1, int(i))
+            store.add_observation(lm, kf2, int(idx2[i]))
+        store.update_connections(kf1)
+        store.update_connections(kf2)
+        new_lms = store.kf_obs_lm[kf2]
+        store.update_landmark_stats(new_lms[new_lms >= 0])
+
+        self.state = TrackState.OK
+        self.last_inliers = int(good.sum())
+        self.velocity = jnp.zeros(6)
+        self._init_ref = None
         self._record_trajectory()
         return True
 
@@ -187,6 +297,9 @@ class Tracker:
         R = np.asarray(self.pose.R)
         t = np.asarray(self.pose.t)
         kp = frame.kp
+        words = bow = None
+        if self.vocab_hook is not None:
+            words, bow = self.vocab_hook(kp.desc, kp.valid)
         kf = store.add_keyframe(
             R=R,
             t=t,
@@ -197,6 +310,8 @@ class Tracker:
             angle=np.asarray(kp.angle),
             octave=np.asarray(kp.octave),
             kp_valid=np.asarray(kp.valid),
+            words=words,
+            bow=bow,
             frame_id=self.frame_idx,
         )
 
@@ -268,6 +383,35 @@ class Tracker:
         )
         return weak or close_rule
 
+    def _relocalize(self, frame: Frame) -> bool:
+        """Try BoW reloc candidates (plus the last reference KF); on success
+        reset pose/ref_kf and let the normal stages refine this frame."""
+        cand = [self.ref_kf]
+        if self.reloc_db is not None and self.vocab_hook is not None:
+            _, bow = self.vocab_hook(frame.kp.desc, frame.kp.valid)
+            if bow is not None:
+                cand = self.reloc_db.detect_reloc_candidates(bow)[:5] + cand
+        for kf in cand:
+            if kf < 0 or not self.store.kf_valid[kf]:
+                continue
+            kfs = [kf] + [int(x) for x in self.store.best_covisible(kf, 10)]
+            lm_ids = np.unique(self.store.kf_obs_lm[kfs])
+            lm_ids = lm_ids[lm_ids >= 0]
+            lm_ids = lm_ids[self.store.lm_valid[lm_ids]][: self.cfg.local_map_capacity]
+            if len(lm_ids) < 30:
+                continue
+            buf = self._buffer_from_ids(lm_ids)
+            self._key, sub = jax.random.split(self._key)
+            pose, n = recover_pose_no_prior(sub, buf, frame, self.cam)
+            if int(n) >= self.cfg.min_inliers_track:
+                self.pose = pose
+                self.velocity = jnp.zeros(6)
+                self.ref_kf = kf
+                self.state = TrackState.OK
+                self.frames_lost = 0
+                return True
+        return False
+
     def _record_trajectory(self):
         """Store T_cur_ref = T_cw · T_ref_w^{-1} (relative to ref KF)."""
         R_ref = self.store.kf_R[self.ref_kf]
@@ -289,6 +433,13 @@ class Tracker:
                 return self.pose
             return None
 
+        if self.state == TrackState.LOST:
+            # Relocalization (Tracking.cc:2334-2554): BoW candidate KFs ->
+            # 3D-3D RANSAC against their local landmarks -> re-seed tracking.
+            if not self._relocalize(frame):
+                self.frames_lost += 1
+                return None
+
         # --- stage A: motion model vs last frame's landmarks ---
         guess = se3.retract(self.pose, self.velocity)
         lm_buffer = self._gather_local_map()
@@ -300,6 +451,18 @@ class Tracker:
             pose, m_idx, m_valid, n_inliers = match_and_optimize(
                 guess, lm_buffer, frame, self.cam, self.cfg.match_radius_motion * 2
             )
+        if int(n_inliers) < self.cfg.min_inliers_track:
+            # No-prior fallback: descriptor-only match + 3D-3D RANSAC seed
+            # (TrackReferenceKeyFrame geometry, Tracking.cc:1317-1377).
+            self._key, sub = jax.random.split(self._key)
+            seed_pose, n_ransac = recover_pose_no_prior(
+                sub, lm_buffer, frame, self.cam
+            )
+            if int(n_ransac) >= self.cfg.min_inliers_track:
+                pose, m_idx, m_valid, n_inliers = match_and_optimize(
+                    seed_pose, lm_buffer, frame, self.cam,
+                    self.cfg.match_radius_motion,
+                )
 
         # --- stage B: track local map (tighter radius at refined pose) ---
         pose, m_idx, m_valid, n_inliers = match_and_optimize(

@@ -108,3 +108,50 @@ class TestLandmarkStats:
         s.update_landmark_stats(np.array([l]))
         # Camera at origin, landmark at +z: normal ~ (0, 0, 1).
         assert s.lm_normal[l][2] > 0.99
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from sqrtlm_slam_tpu.mapstore import checkpoint
+        from sqrtlm_slam_tpu.mapstore.store import MapStore
+
+        rng = np.random.RandomState(0)
+        store = MapStore(max_keyframes=8, max_landmarks=64, feats_per_kf=32)
+        for k in range(3):
+            store.add_keyframe(
+                R=np.eye(3, dtype=np.float32),
+                t=rng.randn(3).astype(np.float32),
+                xy=rng.rand(32, 2).astype(np.float32) * 100,
+                uvr=rng.rand(32, 3).astype(np.float32),
+                depth=rng.rand(32).astype(np.float32) * 10,
+                desc=rng.randint(0, 2**31, (32, 8)).astype(np.uint32),
+                angle=rng.rand(32).astype(np.float32),
+                octave=np.zeros(32, np.int32),
+                kp_valid=np.ones(32, bool),
+                frame_id=k,
+            )
+        for l in range(5):
+            lm = store.add_landmark(
+                rng.randn(3).astype(np.float32),
+                rng.randint(0, 2**31, 8).astype(np.uint32),
+                0,
+            )
+            store.add_observation(lm, 0, l)
+            store.add_observation(lm, 1, l)
+        store.update_connections(1)
+        store.loop_edges.append((0, 2))
+
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(store, p)
+        loaded, _ = checkpoint.load_map(p)
+
+        assert loaded.num_kf == store.num_kf
+        assert loaded.num_lm == store.num_lm
+        assert loaded.loop_edges == [(0, 2)]
+        np.testing.assert_array_equal(loaded.kf_R, store.kf_R)
+        np.testing.assert_array_equal(loaded.lm_pos, store.lm_pos)
+        np.testing.assert_array_equal(loaded.lm_obs_kf, store.lm_obs_kf)
+        np.testing.assert_array_equal(loaded.covis, store.covis)
+        np.testing.assert_array_equal(loaded.kf_desc, store.kf_desc)
