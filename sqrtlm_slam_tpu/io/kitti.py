@@ -72,12 +72,17 @@ def read_poses(path: str) -> np.ndarray:
 
 
 def read_image(path: str) -> np.ndarray:
-    """Grayscale image as float32 (H, W) in [0, 255]."""
-    import cv2
+    """Grayscale image as float32 (H, W) in [0, 255] (PIL, cv2 fallback)."""
+    try:
+        from PIL import Image
 
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if img is None:
-        raise FileNotFoundError(path)
+        img = np.asarray(Image.open(path).convert("L"))
+    except ImportError:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
     return img.astype(np.float32)
 
 

@@ -310,3 +310,24 @@ def extract_features(points: jnp.ndarray, cfg: LidarConfig = LidarConfig()) -> L
         less_flat=xyz_flat[lf_idx],
         less_flat_valid=lf_ok,
     )
+
+
+def transform_features(feat: LidarFeatures, R: jnp.ndarray, t: jnp.ndarray) -> LidarFeatures:
+    """Rigidly transform feature clouds (and plane normals/offsets) by
+    p' = R p + t — the reference's lidar->camera extrinsic application after
+    extraction (Frame.cc:461-466). Plane n.p + d = 0 maps to
+    n' = R n, d' = d - n'.t."""
+
+    def pts(p):
+        return p @ R.T + t
+
+    n_new = feat.flat_normal @ R.T
+    d_new = feat.flat_d - jnp.sum(n_new * t, axis=-1)
+    return feat._replace(
+        sharp=pts(feat.sharp),
+        less_sharp=pts(feat.less_sharp),
+        flat=pts(feat.flat),
+        flat_normal=n_new,
+        flat_d=d_new,
+        less_flat=pts(feat.less_flat),
+    )

@@ -24,6 +24,7 @@ _FIELDS = [
     "kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_xy", "kf_uvr", "kf_depth",
     "kf_desc", "kf_angle", "kf_octave", "kf_kp_valid", "kf_words", "kf_bow",
     "kf_obs_lm",
+    "kf_corner", "kf_corner_valid", "kf_flat", "kf_flat_normal", "kf_flat_valid",
     "lm_pos", "lm_valid", "lm_desc", "lm_normal", "lm_min_dist", "lm_max_dist",
     "lm_obs_kf", "lm_obs_idx", "lm_n_obs", "lm_visible", "lm_found",
     "lm_first_kf",
@@ -31,7 +32,7 @@ _FIELDS = [
 ]
 
 _META = ["max_keyframes", "max_landmarks", "feats_per_kf", "obs_per_landmark",
-         "num_words", "num_kf", "num_lm"]
+         "num_words", "corner_per_kf", "flat_per_kf", "num_kf", "num_lm"]
 
 
 def save_map(store: MapStore, path: str, vocabulary=None):
@@ -59,6 +60,8 @@ def load_map(path: str):
         feats_per_kf=meta["feats_per_kf"],
         obs_per_landmark=meta["obs_per_landmark"],
         num_words=meta["num_words"],
+        corner_per_kf=meta.get("corner_per_kf", 512),
+        flat_per_kf=meta.get("flat_per_kf", 1024),
     )
     for f in _FIELDS:
         getattr(store, f)[...] = data[f]

@@ -40,6 +40,8 @@ class MapStore:
     feats_per_kf: int = 1000
     obs_per_landmark: int = 16
     num_words: int = 1000
+    corner_per_kf: int = 512  # LiDAR corner cloud capacity (KeyFrame.h:437-442)
+    flat_per_kf: int = 1024  # LiDAR flat cloud (+normal) capacity
 
     # -- keyframe arrays (filled in __post_init__) --
     kf_R: np.ndarray = field(init=False)  # (K, 3, 3) T_cw rotation
@@ -56,6 +58,13 @@ class MapStore:
     kf_words: np.ndarray = field(init=False)  # (K, N) int32 word ids
     kf_bow: np.ndarray = field(init=False)  # (K, W) float32 BoW vectors
     kf_obs_lm: np.ndarray = field(init=False)  # (K, N) int32 landmark id or -1
+    # LiDAR feature clouds carried per keyframe (KF camera frame), feeding
+    # the tracking/BA tight-coupling local maps (KeyFrame.h:437-442).
+    kf_corner: np.ndarray = field(init=False)  # (K, Nc, 3)
+    kf_corner_valid: np.ndarray = field(init=False)  # (K, Nc)
+    kf_flat: np.ndarray = field(init=False)  # (K, Nf, 3)
+    kf_flat_normal: np.ndarray = field(init=False)  # (K, Nf, 3)
+    kf_flat_valid: np.ndarray = field(init=False)  # (K, Nf)
 
     # -- landmark arrays --
     lm_pos: np.ndarray = field(init=False)  # (L, 3)
@@ -101,6 +110,11 @@ class MapStore:
         self.kf_words = np.full((K, N), -1, np.int32)
         self.kf_bow = np.zeros((K, W), np.float32)
         self.kf_obs_lm = np.full((K, N), -1, np.int32)
+        self.kf_corner = np.zeros((K, self.corner_per_kf, 3), np.float32)
+        self.kf_corner_valid = np.zeros((K, self.corner_per_kf), bool)
+        self.kf_flat = np.zeros((K, self.flat_per_kf, 3), np.float32)
+        self.kf_flat_normal = np.zeros((K, self.flat_per_kf, 3), np.float32)
+        self.kf_flat_valid = np.zeros((K, self.flat_per_kf), bool)
 
         self.lm_pos = np.zeros((L, 3), np.float32)
         self.lm_valid = np.zeros(L, bool)
@@ -161,6 +175,16 @@ class MapStore:
     def set_kf_pose(self, k: int, R: np.ndarray, t: np.ndarray):
         self.kf_R[k] = R
         self.kf_t[k] = t
+
+    def set_kf_lidar(self, k, corner, corner_valid, flat, flat_normal, flat_valid):
+        """Attach (downsampled, KF-frame) LiDAR feature clouds to KF k."""
+        nc = min(len(corner), self.corner_per_kf)
+        nf = min(len(flat), self.flat_per_kf)
+        self.kf_corner[k, :nc] = corner[:nc]
+        self.kf_corner_valid[k, :nc] = corner_valid[:nc]
+        self.kf_flat[k, :nf] = flat[:nf]
+        self.kf_flat_normal[k, :nf] = flat_normal[:nf]
+        self.kf_flat_valid[k, :nf] = flat_valid[:nf]
 
     # ------------------------------------------------------------------
     # Landmarks & observations

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from ..factors import reprojection as reproj
 from ..geometry import se3
 from . import loss as losses
+from .edge_kernels import inv3x3
 
 
 class BAProblem(NamedTuple):
@@ -159,7 +160,7 @@ def reduce_and_solve(
     Hll_d = Hll + mu * eye3
     # Invalid landmarks get identity blocks (zero rhs => zero update).
     Hll_d = jnp.where(point_valid[:, None, None], Hll_d, eye3)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = inv3x3(Hll_d)
 
     WHinv = jnp.einsum("alk,lkm->alm", W, Hll_inv)  # (P6, L, 3)
     S_corr = jnp.einsum("alm,blm->ab", WHinv, W)  # (P6, P6) — MXU matmul
@@ -204,6 +205,12 @@ def _apply_update(problem: BAProblem, dxp, dxl) -> BAProblem:
     return problem._replace(pose_R=new_R, pose_t=new_t, points=new_pts)
 
 
+def chi2_only(problem: BAProblem, cam: reproj.Camera, active, robust_delta):
+    """Residual-only chi2 (Jacobians are dead code under jit -> eliminated)."""
+    _, _, _, _, chi2, _ = _edge_terms(problem, cam, active, robust_delta)
+    return chi2
+
+
 def ba_iterate(
     problem: BAProblem,
     cam: reproj.Camera,
@@ -215,9 +222,13 @@ def ba_iterate(
     """Run `num_iters` damped LM iterations on the BA problem (one jit trace).
 
     Nielsen damping with functional rollback, mirroring problem.cc:92-167.
+    The scan carries only the (small) problem state — normal equations are
+    rebuilt per iteration; the candidate is scored by a residual-only chi2
+    pass (the Jacobian side is dead code there and XLA eliminates it).
     Returns (problem, chi2, accepted_count).
     """
-    Hpp0, Hll0, W0, bp0, bl0, chi20 = build_normal_equations(
+    chi20 = chi2_only(problem, cam, active, robust_delta)
+    Hpp0, Hll0, _, _, _, _ = build_normal_equations(
         problem, cam, active, robust_delta
     )
     maxdiag = jnp.maximum(
@@ -227,41 +238,38 @@ def ba_iterate(
     mu0 = tau * jnp.maximum(maxdiag, 1e-10)
 
     def body(carry, _):
-        prob, nrm, chi2, mu, nu, n_acc = carry
-        Hpp, Hll, W, bp, bl = nrm
+        prob, chi2, mu, nu, n_acc = carry
+        Hpp, Hll, W, bp, bl, _ = build_normal_equations(
+            prob, cam, active, robust_delta
+        )
         dxp, dxl = reduce_and_solve(
             Hpp, Hll, W, bp, bl, prob.pose_fixed, prob.point_valid, mu
         )
         candidate = _apply_update(prob, dxp, dxl)
-        Hpp_c, Hll_c, W_c, bp_c, bl_c, chi2_c = build_normal_equations(
-            candidate, cam, active, robust_delta
-        )
+        chi2_c = chi2_only(candidate, cam, active, robust_delta)
         dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
         b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
         predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
         rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
         accept = (rho > 0) & jnp.isfinite(chi2_c)
 
-        sel = lambda a, b_: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(accept, x, y), a, b_
+        prob_new = jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), candidate, prob
         )
-        prob_new = sel(candidate, prob)
-        nrm_new = sel((Hpp_c, Hll_c, W_c, bp_c, bl_c), (Hpp, Hll, W, bp, bl))
         chi2_new = jnp.where(accept, chi2_c, chi2)
         factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         mu_new = jnp.where(accept, mu * factor, mu * nu)
         nu_new = jnp.where(accept, 2.0, nu * 2.0)
-        return (prob_new, nrm_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
 
     init = (
         problem,
-        (Hpp0, Hll0, W0, bp0, bl0),
         chi20,
         mu0,
         jnp.asarray(2.0, dtype=chi20.dtype),
         jnp.asarray(0, dtype=jnp.int32),
     )
-    (problem, _, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
     return problem, chi2, n_acc
 
 
@@ -417,7 +425,7 @@ def cg_reduce_and_solve(
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
     Hll_d = jnp.where(problem.point_valid[:, None, None], Hll + mu * eye3, eye3)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = inv3x3(Hll_d)
     Hpp_d = Hpp + mu * eye6
 
     # rhs = -(bp - W Hll_inv bl), edge-wise.
@@ -475,9 +483,7 @@ def ba_iterate_cg(
             prob, cam, active, robust_delta, mu, cg_iters=cg_iters
         )
         candidate = _apply_update(prob, dxp, dxl)
-        _, _, _, _, _, _, _, _, chi2_c = _edge_data(
-            candidate, cam, active, robust_delta
-        )
+        chi2_c = chi2_only(candidate, cam, active, robust_delta)
         dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
         b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
         predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..factors.reprojection import Camera
 from ..frontend import orb
+from ..lidar import features as lidar_features
 
 
 class Frame(NamedTuple):
@@ -28,6 +29,7 @@ class Frame(NamedTuple):
     depth: jnp.ndarray  # (N,) associated depth (<= 0 -> none)
     inv_sigma2: jnp.ndarray  # (N,) information by pyramid level
     words: Optional[jnp.ndarray] = None  # (N,) vocabulary word ids
+    lidar: Optional[lidar_features.LidarFeatures] = None  # fusion coupling
 
 
 def project_cloud_to_depth_image(
@@ -96,13 +98,33 @@ def build_frame(
     orb_cfg: orb.ORBConfig,
     depth_img: Optional[jnp.ndarray] = None,
     cloud_cam: Optional[jnp.ndarray] = None,
+    cloud_lidar: Optional[jnp.ndarray] = None,
+    T_cam_lidar: Optional[tuple] = None,  # (R (3,3), t (3)) extrinsics
+    lidar_cfg: Optional[lidar_features.LidarConfig] = None,
 ) -> Frame:
     """Extract ORB and associate depth (from a depth image or a camera-frame
     LiDAR cloud). The visual and LiDAR branches are independent device
     computations — XLA overlaps them (reference runs them as two host
-    threads, Frame.cc:286,458)."""
+    threads, Frame.cc:286,458). With `lidar_cfg`, the full LOAM-style
+    feature extraction runs on the cloud too (corner/flat + normals —
+    Frame::lidarProcess, Frame.cc:1243), enabling tight coupling in
+    tracking and BA."""
     kp = orb.extract(image, orb_cfg)
     H, W = image.shape
+    lidar = None
+    if cloud_lidar is not None:
+        # Extraction runs in the native LiDAR frame (ring geometry assumes
+        # x fwd / z up); features + the cloud are then brought into the
+        # camera frame with the extrinsics (Frame.cc:461-466).
+        R_cl, t_cl = T_cam_lidar if T_cam_lidar is not None else (
+            jnp.eye(3), jnp.zeros(3)
+        )
+        if lidar_cfg is not None:
+            feat = lidar_features.extract_features(cloud_lidar, lidar_cfg)
+            lidar = lidar_features.transform_features(feat, R_cl, t_cl)
+        if cloud_cam is None:
+            cloud_cam = cloud_lidar @ R_cl.T + t_cl
+
     if depth_img is None and cloud_cam is not None:
         depth_img = project_cloud_to_depth_image(cloud_cam, cam, H, W)
 
@@ -118,4 +140,4 @@ def build_frame(
     uvr = jnp.concatenate([kp.xy, u_right[:, None]], axis=-1)
     sigma2 = jnp.asarray(orb.level_sigma2(orb_cfg))
     inv_sigma2 = 1.0 / sigma2[jnp.clip(kp.octave, 0, orb_cfg.num_levels - 1)]
-    return Frame(kp=kp, uvr=uvr, depth=depth, inv_sigma2=inv_sigma2)
+    return Frame(kp=kp, uvr=uvr, depth=depth, inv_sigma2=inv_sigma2, lidar=lidar)

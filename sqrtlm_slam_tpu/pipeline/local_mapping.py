@@ -21,15 +21,36 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..factors.reprojection import Camera
+from ..frontend import matching
 from ..geometry import se3
 from ..mapstore import MapStore
 from ..optim import schur
 from . import triangulation
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "radius_px"))
+def _project_and_match(
+    pose_R, pose_t, lm_pos, lm_desc, lm_valid,
+    kp_xy, kp_desc, kp_valid, cam: Camera, radius_px: float,
+):
+    """Project landmarks into a keyframe and Hamming-match within a window
+    (the geometric core of ORBmatcher::Fuse, ORBmatcher.cc:1109)."""
+    pose = se3.SE3(pose_R, pose_t)
+    x_c = se3.act(pose, lm_pos)
+    uv = cam.project(x_c)
+    ok = lm_valid & (x_c[..., 2] > 0.3)
+    window = matching.projection_window_mask(uv, kp_xy, radius_px)
+    return matching.match_descriptors(
+        lm_desc, kp_desc, ok, kp_valid,
+        window_mask=window, max_dist=matching.TH_LOW, mutual=True,
+    )
 
 
 class LocalMappingConfig(NamedTuple):
@@ -62,9 +83,85 @@ class LocalMapper:
         self.map_point_culling(kf)
         if self.cfg.triangulate and self.store.num_kf >= 2:
             self.create_new_map_points(kf)
+        self.search_in_neighbors(kf)
         if self.store.num_kf >= 3:
             self.local_ba(kf)
         self.keyframe_culling(kf)
+
+    # ------------------------------------------------------------------
+
+    def search_in_neighbors(self, kf: int, fuse_cap: int = 2048):
+        """Two-level neighbor fuse (SearchInNeighbors, LocalMapping.cc:661-787):
+        project neighbors' landmarks into kf and kf's landmarks into each
+        neighbor; matches onto keypoints already bound to a landmark MERGE
+        the two (keep the better-observed one), unbound matches become new
+        observations."""
+        store, cfg = self.store, self.cfg
+        first = [int(x) for x in store.best_covisible(kf, 10)]
+        neighbors = list(first)
+        for nb in first[:5]:
+            for nb2 in store.best_covisible(nb, 5):
+                if int(nb2) != kf and int(nb2) not in neighbors:
+                    neighbors.append(int(nb2))
+
+        def lm_of(k):
+            ids = store.kf_obs_lm[k]
+            ids = np.unique(ids[ids >= 0])
+            return ids[store.lm_valid[ids]][:fuse_cap]
+
+        def fuse(target_kf, lm_ids):
+            if len(lm_ids) == 0:
+                return 0
+            cap = fuse_cap
+            pos = np.zeros((cap, 3), np.float32)
+            desc = np.zeros((cap, 8), np.uint32)
+            val = np.zeros(cap, bool)
+            m = len(lm_ids)
+            pos[:m] = store.lm_pos[lm_ids]
+            desc[:m] = store.lm_desc[lm_ids]
+            val[:m] = True
+            res = _project_and_match(
+                jnp.asarray(store.kf_R[target_kf]), jnp.asarray(store.kf_t[target_kf]),
+                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
+                jnp.asarray(store.kf_xy[target_kf]),
+                jnp.asarray(store.kf_desc[target_kf]),
+                jnp.asarray(store.kf_kp_valid[target_kf]),
+                self.cam, 4.0,
+            )
+            hits = np.where(np.asarray(res.valid)[:m])[0]
+            kp_idx = np.asarray(res.idx)[:m]
+            n_fused = 0
+            for j in hits:
+                lm = int(lm_ids[j])
+                kp = int(kp_idx[j])
+                existing = int(store.kf_obs_lm[target_kf, kp])
+                if existing == lm:
+                    continue
+                if existing >= 0 and store.lm_valid[existing]:
+                    # Merge: keep the better-observed landmark (MapPoint::Replace).
+                    if store.lm_n_obs[existing] >= store.lm_n_obs[lm]:
+                        store.replace_landmark(lm, existing)
+                    else:
+                        store.replace_landmark(existing, lm)
+                else:
+                    store.add_observation(lm, target_kf, kp)
+                n_fused += 1
+            return n_fused
+
+        total = 0
+        gathered = []
+        for nb in neighbors:
+            gathered.append(lm_of(nb))
+        if gathered:
+            total += fuse(kf, np.unique(np.concatenate(gathered))[:fuse_cap])
+        own = lm_of(kf)
+        for nb in neighbors:
+            total += fuse(nb, own)
+        if total:
+            touched = lm_of(kf)
+            store.update_landmark_stats(touched[:512])
+            store.update_connections(kf)
+        return total
 
     # ------------------------------------------------------------------
 

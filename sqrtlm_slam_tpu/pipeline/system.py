@@ -38,6 +38,7 @@ class SystemConfig(NamedTuple):
     max_keyframes: int = 512
     max_landmarks: int = 60000
     loop_detection: bool = False  # SLAM.LoopDetection flag (fusionsystem.cc:9)
+    lidar: Optional[object] = None  # lidar.features.LidarConfig for fusion
 
 
 class SlamSystem:
@@ -102,9 +103,20 @@ class SlamSystem:
     # Tracking entry points (System::TrackFusion / TrackMonocular parity)
     # ------------------------------------------------------------------
 
-    def track_fusion(self, image: jnp.ndarray, cloud_cam: jnp.ndarray):
-        """Visual-LiDAR fusion: camera-frame cloud supplies keypoint depth."""
-        frame = build_frame(image, self.cam, self.cfg.orb, cloud_cam=cloud_cam)
+    def track_fusion(
+        self,
+        image: jnp.ndarray,
+        cloud_lidar: jnp.ndarray,
+        T_cam_lidar=None,
+    ):
+        """Visual-LiDAR fusion (System::TrackFusion): the LiDAR-frame cloud
+        supplies keypoint depth AND (with cfg.lidar set) corner/flat
+        features for tight coupling. `T_cam_lidar` = (R, t) extrinsics
+        (KITTI `Tr`, fusionsystem.cc:51-90)."""
+        frame = build_frame(
+            image, self.cam, self.cfg.orb, cloud_lidar=cloud_lidar,
+            T_cam_lidar=T_cam_lidar, lidar_cfg=self.cfg.lidar,
+        )
         return self.tracker.track(frame)
 
     def track_depth(self, image: jnp.ndarray, depth_img: jnp.ndarray):

@@ -31,6 +31,8 @@ from ..algorithm import pnp
 from ..factors.reprojection import Camera
 from ..frontend import matching
 from ..geometry import se3
+from ..lidar import odometry as lidar_odometry
+from ..lidar import voxel_map
 from ..mapstore import MapStore
 from ..optim import pose_opt
 from . import initializer
@@ -53,6 +55,10 @@ class TrackingConfig(NamedTuple):
     kf_close_tracked: int = 100  # close-point rule (Tracking.cc:1747)
     kf_close_untracked: int = 70
     max_landmarks_per_kf: int = 300
+    # LiDAR tight coupling (g2oOptimizer.cc:560-641).
+    lidar_min_map_pts: int = 100  # only couple if the local map is populated
+    lidar_match_dist: float = 0.45  # NN gate, sqrt(0.2 m^2) reference radius
+    lidar_map_kfs: int = 10  # KFs aggregated into the lidar local map
 
 
 class TrackState:
@@ -121,6 +127,68 @@ def match_and_optimize(
     return result.pose, res.idx, res.valid & result.inlier_mask, result.num_inliers
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "radius_px", "match_dist"))
+def match_and_optimize_fused(
+    pose_guess: se3.SE3,
+    lm: LocalMapBuffer,
+    frame: Frame,
+    cam: Camera,
+    radius_px: float,
+    lidar_map: lidar_odometry.LocalMap,
+    match_dist: float,
+):
+    """Tracking stage with LiDAR tight coupling: visual window matching +
+    voxel-hash NN association of the frame's corner/flat features against
+    the keyframe-window lidar local map, then ONE fused pose optimization
+    over reprojection + point-to-point + point-to-plane residuals
+    (g2oOptimizer.cc:560-641: EdgeLidarCornerPoint info=30, EdgeLidarFlatPoint
+    info=50)."""
+    x_c = se3.act(pose_guess, lm.pos)
+    uv_pred = cam.project(x_c)
+    proj_ok = lm.valid & (x_c[..., 2] > 0.5)
+    window = matching.projection_window_mask(uv_pred, frame.kp.xy, radius_px)
+    res = matching.match_descriptors(
+        lm.desc, frame.kp.desc, proj_ok, frame.kp.valid,
+        window_mask=window, max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
+    )
+    obs = pose_opt.VisualObs(
+        points_w=lm.pos,
+        uvr=frame.uvr[res.idx],
+        inv_sigma2=frame.inv_sigma2[res.idx],
+        valid=res.valid,
+    )
+
+    lf = frame.lidar
+    # Associate at the pose guess (the reference associates once per
+    # optimization stage via kd-tree NN, then optimizes 10 iterations).
+    c_pts, c_val = lf.sharp, lf.sharp_valid
+    f_pts, f_val = lf.flat, lf.flat_valid
+    c_w = se3.act(se3.inverse(pose_guess), c_pts)
+    f_w = se3.act(se3.inverse(pose_guess), f_pts)
+    ci, cd2, cok = voxel_map.knn(lidar_map.corner, c_w, k=1, max_dist=match_dist)
+    fi, fd2, fok = voxel_map.knn(lidar_map.flat, f_w, k=1, max_dist=match_dist)
+    c_target = lidar_map.corner.points[ci[:, 0]]
+    f_target = lidar_map.flat.points[fi[:, 0]]
+    f_normal = lidar_map.flat.payload[fi[:, 0]]
+    f_d = -jnp.sum(f_normal * f_target, axis=-1)
+
+    lobs = pose_opt.LidarObs(
+        flat_pts=f_pts,
+        plane_n=f_normal,
+        plane_d=f_d,
+        flat_valid=fok[:, 0] & f_val,
+        corner_pts=c_pts,
+        corner_target=c_target,
+        corner_valid=cok[:, 0] & c_val,
+    )
+    n_lidar = jnp.sum(lobs.flat_valid) + jnp.sum(lobs.corner_valid)
+    result = pose_opt.optimize_pose(pose_guess, obs, cam, lidar_obs=lobs)
+    return (
+        result.pose, res.idx, res.valid & result.inlier_mask,
+        result.num_inliers, n_lidar,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def recover_pose_no_prior(
     key: jnp.ndarray, lm: LocalMapBuffer, frame: Frame, cam: Camera
@@ -171,6 +239,7 @@ class Tracker:
         self.reloc_db = None  # KeyFrameDatabase set by the system
         self.frames_lost = 0
         self._init_ref: Optional[Frame] = None  # mono init reference frame
+        self.last_lidar_matches = 0  # tight-coupling association count
 
     # ------------------------------------------------------------------
 
@@ -205,6 +274,65 @@ class Tracker:
         )
 
     # ------------------------------------------------------------------
+
+    def _gather_lidar_local_map(self):
+        """Aggregate the local KFs' stored corner/flat clouds into world-frame
+        voxel-hash maps (UpdateLidarLocalPoints, Tracking.cc:2263-2320:
+        aggregate per-KF clouds of the visual local KFs, voxel-filter,
+        rebuild the NN structure)."""
+        store, cfg = self.store, self.cfg
+        kfs = [self.ref_kf] + [
+            int(x) for x in store.best_covisible(self.ref_kf, cfg.lidar_map_kfs)
+        ]
+        kfs = [k for k in kfs if k >= 0 and store.kf_corner_valid[k].any()]
+        if not kfs:
+            return None
+        # Fixed-capacity aggregation (static shapes -> no jit retraces as the
+        # keyframe window grows).
+        n_slots = cfg.lidar_map_kfs + 1
+        Nc, Nf = store.corner_per_kf, store.flat_per_kf
+        corner = np.zeros((n_slots * Nc, 3), np.float32)
+        corner_v = np.zeros(n_slots * Nc, bool)
+        flat = np.zeros((n_slots * Nf, 3), np.float32)
+        flat_n = np.zeros((n_slots * Nf, 3), np.float32)
+        flat_v = np.zeros(n_slots * Nf, bool)
+        for i, k in enumerate(kfs[:n_slots]):
+            R, t = store.kf_R[k], store.kf_t[k]
+            corner[i * Nc : (i + 1) * Nc] = (store.kf_corner[k] - t) @ R  # R^T(p-t)
+            corner_v[i * Nc : (i + 1) * Nc] = store.kf_corner_valid[k]
+            flat[i * Nf : (i + 1) * Nf] = (store.kf_flat[k] - t) @ R
+            flat_n[i * Nf : (i + 1) * Nf] = store.kf_flat_normal[k] @ R
+            flat_v[i * Nf : (i + 1) * Nf] = store.kf_flat_valid[k]
+        corner = jnp.asarray(corner)
+        corner_v = jnp.asarray(corner_v)
+        flat = jnp.asarray(flat)
+        flat_n = jnp.asarray(flat_n)
+        flat_v = jnp.asarray(flat_v)
+        n_pts = int(corner_v.sum()) + int(flat_v.sum())
+        if n_pts < cfg.lidar_min_map_pts:
+            return None
+        return lidar_odometry.build_local_map(
+            corner, corner_v, flat, flat_v, flat_n,
+            lidar_odometry.OdomConfig(),
+        )
+
+    def _store_kf_lidar(self, kf: int, frame: Frame):
+        """Downsample the frame's features into the KF cloud slots."""
+        lf = frame.lidar
+        store = self.store
+        c_ds, c_ok = voxel_map.voxel_downsample(
+            lf.less_sharp, lf.less_sharp_valid, 0.4, store.corner_per_kf
+        )
+        # Flat points keep their fitted normals (payload-aware downsample).
+        stacked = jnp.concatenate([lf.flat, lf.flat_normal], axis=-1)
+        f6, f_ok = lidar_odometry._voxel_downsample_payload(
+            stacked, lf.flat_valid, 0.4, store.flat_per_kf
+        )
+        store.set_kf_lidar(
+            kf,
+            np.asarray(c_ds), np.asarray(c_ok),
+            np.asarray(f6[:, :3]), np.asarray(f6[:, 3:]), np.asarray(f_ok),
+        )
 
     def _initialize(self, frame: Frame) -> bool:
         """FusionInitialization (depth path) or monocular two-view init."""
@@ -351,6 +479,8 @@ class Tracker:
         store.update_connections(kf)
         new_lms = store.kf_obs_lm[kf]
         store.update_landmark_stats(new_lms[new_lms >= 0])
+        if frame.lidar is not None:
+            self._store_kf_lidar(kf, frame)
         self.ref_kf = kf
         self.frames_since_kf = 0
         if self.new_kf_callback is not None:
@@ -465,9 +595,20 @@ class Tracker:
                 )
 
         # --- stage B: track local map (tighter radius at refined pose) ---
-        pose, m_idx, m_valid, n_inliers = match_and_optimize(
-            pose, lm_buffer, frame, self.cam, self.cfg.match_radius_local
-        )
+        # With LiDAR features present, this stage is tightly coupled:
+        # reprojection + point-to-plane/point-to-point in one optimization
+        # (the reference's second PoseOptimization with the lidar local map).
+        lidar_map = self._gather_lidar_local_map() if frame.lidar is not None else None
+        if lidar_map is not None:
+            pose, m_idx, m_valid, n_inliers, n_lidar = match_and_optimize_fused(
+                pose, lm_buffer, frame, self.cam, self.cfg.match_radius_local,
+                lidar_map, self.cfg.lidar_match_dist,
+            )
+            self.last_lidar_matches = int(n_lidar)
+        else:
+            pose, m_idx, m_valid, n_inliers = match_and_optimize(
+                pose, lm_buffer, frame, self.cam, self.cfg.match_radius_local
+            )
 
         n = int(n_inliers)
         if n < self.cfg.min_inliers_local:
