@@ -26,13 +26,17 @@ from sqrtlm_slam_tpu.optim import schur
 
 BASELINE_ITERS_S = 50.0
 
-# Reference local-BA regime: ~10^2 poses x ~10^4 landmarks (SURVEY.md §3.2).
-P, L = 96, 8192
+# Reference local-BA regime: ~10^2 poses, ~10^4 landmarks, ~10^4+ edges with
+# sparse covisibility (SURVEY.md §3.2 — each landmark is seen by a handful
+# of consecutive keyframes, NOT by every pose).
+P, L, OBS_PER_LM = 96, 8192, 5
 ITERS_PER_CALL = 15
 
 
 def main():
-    problem, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.6)
+    problem, _ = make_ba_problem(
+        seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=OBS_PER_LM
+    )
 
     @jax.jit
     def ba_step(prob):

@@ -126,12 +126,20 @@ def make_ba_problem(
     stereo_frac: float = 0.6,
     n_fixed: int = 2,
     spacing: float = 0.15,
+    obs_per_landmark: int = 0,
 ):
-    """Synthetic BA problem (dense observation matrix) for benches/dry-runs.
+    """Synthetic BA problem for benches/dry-runs.
 
     Returns (BAProblem, true SE3 poses). Poses lie on a rough line looking
     down +z; landmarks sit ahead of the trajectory; the initial estimate is a
     perturbation the optimizer must undo.
+
+    obs_per_landmark = 0 gives the dense observation matrix (every pose sees
+    every landmark — small unit-test problems); > 0 gives the realistic
+    sparse visibility of a SLAM covisibility window: each landmark is
+    observed by `obs_per_landmark` consecutive poses around its home pose
+    (the reference's local BA runs at ~10^2 poses / ~10^4 landmarks /
+    ~10^4 edges, SURVEY §3.2 — NOT P*L edges).
     """
     import jax
 
@@ -151,13 +159,22 @@ def make_ba_problem(
         [P * spacing / 2.0, 0.0, 18.0]
     )
 
-    obs_cam = jnp.repeat(jnp.arange(P, dtype=jnp.int32), L)
-    obs_pt = jnp.tile(jnp.arange(L, dtype=jnp.int32), P)
+    if obs_per_landmark > 0:
+        # Sparse covisibility: landmark l lives near pose (l * P / L); it is
+        # seen by `obs_per_landmark` consecutive poses starting there.
+        home = (jnp.arange(L, dtype=jnp.int32) * P) // L
+        offs = jnp.arange(obs_per_landmark, dtype=jnp.int32)
+        obs_cam = jnp.clip(home[:, None] + offs[None, :], 0, P - 1).reshape(-1)
+        obs_pt = jnp.repeat(jnp.arange(L, dtype=jnp.int32), obs_per_landmark)
+    else:
+        obs_cam = jnp.repeat(jnp.arange(P, dtype=jnp.int32), L)
+        obs_pt = jnp.tile(jnp.arange(L, dtype=jnp.int32), P)
+    E = obs_cam.shape[0]
     T_e = se3.SE3(R_true[obs_cam], pose_t[obs_cam])
     x_c = se3.act(T_e, points_true[obs_pt])
-    uv = cam.project(x_c) + jax.random.normal(k4, (P * L, 2)) * noise
-    ur = uv[..., 0] - cam.bf / x_c[..., 2] + jax.random.normal(k5, (P * L,)) * noise
-    is_stereo = jax.random.uniform(k6, (P * L,)) < stereo_frac
+    uv = cam.project(x_c) + jax.random.normal(k4, (E, 2)) * noise
+    ur = uv[..., 0] - cam.bf / x_c[..., 2] + jax.random.normal(k5, (E,)) * noise
+    is_stereo = jax.random.uniform(k6, (E,)) < stereo_frac
     uvr = jnp.concatenate([uv, jnp.where(is_stereo, ur, -1.0)[..., None]], axis=-1)
 
     k7, k8 = jax.random.split(k6)
@@ -176,7 +193,7 @@ def make_ba_problem(
         obs_cam=obs_cam,
         obs_pt=obs_pt,
         obs_uvr=uvr,
-        obs_inv_sigma2=jnp.ones(P * L),
-        obs_valid=jnp.ones(P * L, bool),
+        obs_inv_sigma2=jnp.ones(E),
+        obs_valid=jnp.ones(E, bool),
     )
     return problem, poses_true

@@ -39,19 +39,28 @@ def se3_relative_residual_jac(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Residual + Jacobians w.r.t. left-mult tangents of T_iw and T_jw.
 
-    Returns (r (...,6), J_i (...,6,6), J_j (...,6,6)).
+    Returns (r (...,6), J_i (...,6,6), J_j (...,6,6)). Batched inputs are
+    vmapped edge-wise (each edge gets its own (6,6) endpoint Jacobians).
     """
 
-    def res(di, dj):
-        return se3_relative_residual(
-            se3.retract(T_iw, di), se3.retract(T_jw, dj), T_ji_meas
-        )
+    def single(T_i, T_j, T_meas):
+        def res(di, dj):
+            return se3_relative_residual(
+                se3.retract(T_i, di), se3.retract(T_j, dj), T_meas
+            )
 
-    zero = jnp.zeros(T_iw.t.shape[:-1] + (6,), dtype=T_iw.t.dtype)
-    r = res(zero, zero)
-    J_i = jax.jacfwd(res, argnums=0)(zero, zero)
-    J_j = jax.jacfwd(res, argnums=1)(zero, zero)
-    return r, J_i, J_j
+        zero = jnp.zeros(6, dtype=T_i.t.dtype)
+        r = res(zero, zero)
+        J_i = jax.jacfwd(res, argnums=0)(zero, zero)
+        J_j = jax.jacfwd(res, argnums=1)(zero, zero)
+        return r, J_i, J_j
+
+    if T_iw.t.ndim == 1:
+        return single(T_iw, T_jw, T_ji_meas)
+    fn = single
+    for _ in range(T_iw.t.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(T_iw, T_jw, T_ji_meas)
 
 
 def sim3_relative_residual(S_iw: sim3.Sim3, S_jw: sim3.Sim3, S_ji_meas: sim3.Sim3) -> jnp.ndarray:

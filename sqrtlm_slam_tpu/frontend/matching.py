@@ -31,7 +31,13 @@ def hamming_matrix(desc_q: jnp.ndarray, desc_t: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distances between packed descriptors.
 
     desc_q: (Q, 8) uint32; desc_t: (T, 8) uint32 -> (Q, T) int32 in [0, 256].
+    On TPU this dispatches to the tiled Pallas kernel (ops/hamming.py) —
+    VMEM-resident tiles, no (Q, T, 8) XOR intermediate in HBM.
     """
+    if jax.default_backend() == "tpu":
+        from ..ops.hamming import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_q, desc_t)
     x = jnp.bitwise_xor(desc_q[:, None, :], desc_t[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

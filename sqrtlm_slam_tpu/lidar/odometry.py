@@ -244,3 +244,39 @@ class LidarOdometry:
         if self._is_keyframe(pose):
             self._insert_keyframe(pose, f)
         return pose
+
+    # -- backend (loop / GNSS pose graph) ------------------------------------
+
+    def record_pose(self):
+        """Append the current pose to the backend trajectory chain."""
+        if not hasattr(self, "_chain"):
+            self._chain = []
+        self._chain.append(self.pose)
+
+    def backend_for_loop(self, i: int, j: int, T_ji: se3.SE3, iters: int = 20):
+        """Relax the recorded pose chain with a loop constraint
+        (art::Odom::BackEndForLoop, lidarOdom.cc:2467-2531). Returns the
+        corrected chain and updates the current pose to the corrected tail."""
+        from . import backend as _backend
+
+        g = _backend.build_chain_graph(self._chain, [(i, j, T_ji)])
+        out, _ = _backend.optimize_se3_graph(g, num_iters=iters)
+        self._chain = [
+            se3.SE3(out.R[k], out.t[k]) for k in range(len(self._chain))
+        ]
+        self.pose = self._chain[-1]
+        return self._chain
+
+    def backend_for_gnss(self, anchors, iters: int = 20):
+        """Relax the chain against GNSS-style world-position anchors
+        (art::Odom::BackEndForGNSS, lidarOdom.cc:2534-2601).
+        anchors: [(frame_idx, xyz world position)]."""
+        from . import backend as _backend
+
+        g = _backend.build_chain_graph(self._chain, [], anchors=anchors)
+        out, _ = _backend.optimize_se3_graph(g, num_iters=iters)
+        self._chain = [
+            se3.SE3(out.R[k], out.t[k]) for k in range(len(self._chain))
+        ]
+        self.pose = self._chain[-1]
+        return self._chain

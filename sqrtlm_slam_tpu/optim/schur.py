@@ -85,20 +85,24 @@ class BAStats(NamedTuple):
 
 
 def _edge_terms(problem: BAProblem, cam: reproj.Camera, active, robust_delta):
-    """Per-edge (r, Jp, Jl, w, chi2_e) with mono/stereo unified to 3 dof."""
+    """Per-edge (r, Jp, Jl, w, chi2_e) with mono/stereo unified to 3 dof.
+
+    The u,v rows of the stereo residual ARE the mono residual (same pinhole
+    projection); mono edges simply zero the disparity row — one evaluation
+    instead of the reference's separate mono/stereo edge types."""
     T = se3.SE3(problem.pose_R[problem.obs_cam], problem.pose_t[problem.obs_cam])
     X = problem.points[problem.obs_pt]
     uvr = problem.obs_uvr
     is_stereo = uvr[..., 2] >= 0.0
 
-    r3, Jp3, Jl3 = reproj.stereo_residual_jac(T, X, uvr, cam)
-    r2, Jp2, Jl2 = reproj.mono_residual_jac(T, X, uvr[..., :2], cam)
-    r2 = jnp.concatenate([r2, jnp.zeros_like(r2[..., :1])], axis=-1)
-    Jp2 = jnp.concatenate([Jp2, jnp.zeros_like(Jp2[..., :1, :])], axis=-2)
-    Jl2 = jnp.concatenate([Jl2, jnp.zeros_like(Jl2[..., :1, :])], axis=-2)
-    r = jnp.where(is_stereo[..., None], r3, r2)
-    Jp = jnp.where(is_stereo[..., None, None], Jp3, Jp2)
-    Jl = jnp.where(is_stereo[..., None, None], Jl3, Jl2)
+    r, Jp, Jl = reproj.stereo_residual_jac(T, X, uvr, cam)
+    row_mask = jnp.stack(
+        [jnp.ones_like(is_stereo), jnp.ones_like(is_stereo), is_stereo],
+        axis=-1,
+    ).astype(r.dtype)  # (E, 3)
+    r = r * row_mask
+    Jp = Jp * row_mask[..., None]
+    Jl = Jl * row_mask[..., None]
 
     w_info = problem.obs_inv_sigma2 * active.astype(r.dtype)
     e2 = w_info * jnp.sum(r * r, axis=-1)
@@ -157,14 +161,20 @@ def reduce_and_solve(
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
 
-    Hll_d = Hll + mu * eye3
+    # Marquardt (multiplicative) damping — scale-invariant, matching the
+    # reference mybackend's add/remove-lambda-on-diagonal scheme
+    # (problem.cc:632-676); absolute damping diverges on thin landmark
+    # blocks from near-collinear observation rays.
+    dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+    Hll_d = Hll + mu * dll[..., None] * eye3 + 1e-8 * eye3
     # Invalid landmarks get identity blocks (zero rhs => zero update).
     Hll_d = jnp.where(point_valid[:, None, None], Hll_d, eye3)
     Hll_inv = inv3x3(Hll_d)
 
     WHinv = jnp.einsum("alk,lkm->alm", W, Hll_inv)  # (P6, L, 3)
     S_corr = jnp.einsum("alm,blm->ab", WHinv, W)  # (P6, P6) — MXU matmul
-    Hpp_d = Hpp + mu * eye6
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
     S = _blockdiag(Hpp_d) - S_corr
     rhs = -(bp.reshape(-1) - jnp.einsum("alm,lm->a", WHinv, bl))
 
@@ -228,14 +238,8 @@ def ba_iterate(
     Returns (problem, chi2, accepted_count).
     """
     chi20 = chi2_only(problem, cam, active, robust_delta)
-    Hpp0, Hll0, _, _, _, _ = build_normal_equations(
-        problem, cam, active, robust_delta
-    )
-    maxdiag = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(Hpp0, axis1=-2, axis2=-1))),
-        jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
-    )
-    mu0 = tau * jnp.maximum(maxdiag, 1e-10)
+    # Multiplicative damping -> mu is dimensionless (Nielsen start 1e-3).
+    mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
 
     def body(carry, _):
         prob, chi2, mu, nu, n_acc = carry
@@ -424,9 +428,12 @@ def cg_reduce_and_solve(
     dtype = Hpp.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
-    Hll_d = jnp.where(problem.point_valid[:, None, None], Hll + mu * eye3, eye3)
+    dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+    Hll_d = Hll + mu * dll[..., None] * eye3 + 1e-8 * eye3
+    Hll_d = jnp.where(problem.point_valid[:, None, None], Hll_d, eye3)
     Hll_inv = inv3x3(Hll_d)
-    Hpp_d = Hpp + mu * eye6
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
 
     # rhs = -(bp - W Hll_inv bl), edge-wise.
     y = jnp.einsum("lij,lj->li", Hll_inv, bl)
@@ -468,14 +475,8 @@ def ba_iterate_cg(
     cg_iters: int = 100,
 ) -> Tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
     """LM loop using the matrix-free PCG step (whole-map scale)."""
-    _, _, _, _, Hpp0, Hll0, _, _, chi20 = _edge_data(
-        problem, cam, active, robust_delta
-    )
-    maxdiag = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(Hpp0, axis1=-2, axis2=-1))),
-        jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
-    )
-    mu0 = tau * jnp.maximum(maxdiag, 1e-10)
+    chi20 = chi2_only(problem, cam, active, robust_delta)
+    mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
 
     def body(carry, _):
         prob, chi2, mu, nu, n_acc = carry

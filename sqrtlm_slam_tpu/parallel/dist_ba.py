@@ -182,8 +182,12 @@ def make_distributed_ba_step(
         dtype = Hpp.dtype
         eye3 = jnp.eye(3, dtype=dtype)
 
-        # Damped local landmark blocks + local Schur pieces.
-        Hll_d = jnp.where(point_valid[:, None, None], Hll + mu * eye3, eye3)
+        # Marquardt (multiplicative) damping: scale-invariant, so thin
+        # landmark blocks (near-collinear observation rays) stay bounded —
+        # absolute damping diverges on sparse-visibility problems.
+        dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)  # (Ls, 3)
+        Hll_d = Hll + mu * dll[..., None] * eye3 + 1e-8 * eye3
+        Hll_d = jnp.where(point_valid[:, None, None], Hll_d, eye3)
         Hll_inv = jnp.linalg.inv(Hll_d)
         WHinv = jnp.einsum("alk,lkm->alm", W, Hll_inv)
         S_corr_local = jnp.einsum("alm,blm->ab", WHinv, W)
@@ -195,7 +199,10 @@ def make_distributed_ba_step(
         S_corr = jax.lax.psum(S_corr_local, axis)
         rhs_corr = jax.lax.psum(rhs_local, axis)
 
-        S = schur._blockdiag(Hpp_g + mu * jnp.eye(6, dtype=dtype)) - S_corr
+        dpp = jnp.diagonal(Hpp_g, axis1=-2, axis2=-1)  # (P, 6)
+        eye6 = jnp.eye(6, dtype=dtype)
+        Hpp_d = Hpp_g + mu * dpp[..., None] * eye6 + 1e-8 * eye6
+        S = schur._blockdiag(Hpp_d) - S_corr
         rhs = -(bp_g.reshape(-1) - rhs_corr)
         fixed6 = jnp.repeat(pose_fixed, 6)
         S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)

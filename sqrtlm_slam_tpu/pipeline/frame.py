@@ -92,6 +92,114 @@ def associate_depth(
     return depth, stable
 
 
+def stereo_match(
+    kp_l: orb.Keypoints,
+    kp_r: orb.Keypoints,
+    bf: float,
+    min_depth: float = 0.5,
+    max_row_diff: float = 2.0,
+):
+    """Rectified left-right ORB matching -> per-left-keypoint u_right.
+
+    The reference's `ComputeStereoMatches` (ORB-SLAM2 Frame stereo ctor)
+    searches along the epipolar row with a disparity bound and refines;
+    here it is one masked Hamming matcher call: row-band window + disparity
+    bounds (0 < u_l - u_r <= bf / min_depth). Returns (u_right (N,),
+    depth (N,)); u_right < 0 where unmatched.
+    """
+    import jax.numpy as jnp
+
+    from ..frontend import matching
+
+    dv = jnp.abs(kp_l.xy[:, None, 1] - kp_r.xy[None, :, 1])
+    disp = kp_l.xy[:, None, 0] - kp_r.xy[None, :, 0]
+    max_disp = bf / min_depth
+    window = (dv <= max_row_diff) & (disp > 0.1) & (disp <= max_disp)
+    res = matching.match_descriptors(
+        kp_l.desc, kp_r.desc, kp_l.valid, kp_r.valid,
+        window_mask=window, max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
+    )
+    u_r = kp_r.xy[res.idx, 0]
+    disparity = kp_l.xy[:, 0] - u_r
+    ok = res.valid & (disparity > 0.1)
+    u_right = jnp.where(ok, u_r, -1.0)
+    depth = jnp.where(ok, bf / jnp.maximum(disparity, 0.1), 0.0)
+    return u_right, depth
+
+
+def refine_stereo_subpixel(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    kp_xy: jnp.ndarray,
+    u_right: jnp.ndarray,
+    bf: float,
+    patch: int = 5,
+    search: int = 5,
+):
+    """Subpixel disparity by sliding-window SAD + parabola fit.
+
+    The reference's `ComputeStereoMatches` correlates a window of the left
+    image along the right epipolar row around the descriptor match and
+    interpolates the SAD minimum (ORB-SLAM2 Frame.cc). Batched: one gather
+    per (keypoint, offset) pair, no loops. Returns (u_right', depth')."""
+    H, W = img_l.shape
+    half = patch // 2
+    ys = jnp.clip(kp_xy[:, 1].astype(jnp.int32), half, H - half - 1)
+    xl = jnp.clip(kp_xy[:, 0].astype(jnp.int32), half, W - half - 1)
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-half, half + 1), jnp.arange(-half, half + 1), indexing="ij"
+    )
+    patch_l = img_l[
+        ys[:, None, None] + dy[None], xl[:, None, None] + dx[None]
+    ]  # (N, p, p)
+
+    offs = jnp.arange(-search, search + 1)  # (S,)
+    xr0 = jnp.clip(u_right.astype(jnp.int32), half + search, W - half - search - 1)
+    xr = xr0[:, None] + offs[None, :]  # (N, S)
+    patch_r = img_r[
+        ys[:, None, None, None] + dy[None, None],
+        xr[:, :, None, None] + dx[None, None],
+    ]  # (N, S, p, p)
+    sad = jnp.sum(jnp.abs(patch_r - patch_l[:, None]), axis=(-2, -1))  # (N, S)
+
+    best = jnp.argmin(sad, axis=1)
+    best_in = jnp.clip(best, 1, 2 * search - 1)
+    c0 = jnp.take_along_axis(sad, (best_in - 1)[:, None], 1)[:, 0]
+    c1 = jnp.take_along_axis(sad, best_in[:, None], 1)[:, 0]
+    c2 = jnp.take_along_axis(sad, (best_in + 1)[:, None], 1)[:, 0]
+    denom = c0 + c2 - 2 * c1
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / denom, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    u_ref = xr0.astype(img_l.dtype) + best_in.astype(img_l.dtype) - search + delta
+
+    valid = u_right >= 0
+    disparity = kp_xy[:, 0] - u_ref
+    ok = valid & (disparity > 0.1)
+    u_out = jnp.where(ok, u_ref, -1.0)
+    depth = jnp.where(ok, bf / jnp.maximum(disparity, 0.1), 0.0)
+    return u_out, depth
+
+
+def build_frame_stereo(
+    img_left: jnp.ndarray,
+    img_right: jnp.ndarray,
+    cam: Camera,
+    orb_cfg: orb.ORBConfig,
+) -> Frame:
+    """Stereo frame: ORB on both images, row-constrained matching for depth
+    (the reference's STEREO sensor mode, System.h:106)."""
+    kp_l = orb.extract(img_left, orb_cfg)
+    kp_r = orb.extract(img_right, orb_cfg)
+    u_right, depth = stereo_match(kp_l, kp_r, cam.bf)
+    u_right, depth = refine_stereo_subpixel(
+        img_left, img_right, kp_l.xy, u_right, cam.bf
+    )
+    uvr = jnp.concatenate([kp_l.xy, u_right[:, None]], axis=-1)
+    sigma2 = jnp.asarray(orb.level_sigma2(orb_cfg))
+    inv_sigma2 = 1.0 / sigma2[jnp.clip(kp_l.octave, 0, orb_cfg.num_levels - 1)]
+    return Frame(kp=kp_l, uvr=uvr, depth=depth, inv_sigma2=inv_sigma2)
+
+
 def build_frame(
     image: jnp.ndarray,
     cam: Camera,

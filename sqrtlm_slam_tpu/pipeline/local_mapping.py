@@ -38,14 +38,27 @@ from . import triangulation
 @functools.partial(jax.jit, static_argnames=("cam", "radius_px"))
 def _project_and_match(
     pose_R, pose_t, lm_pos, lm_desc, lm_valid,
+    lm_normal, lm_min_dist, lm_max_dist,
     kp_xy, kp_desc, kp_valid, cam: Camera, radius_px: float,
 ):
-    """Project landmarks into a keyframe and Hamming-match within a window
-    (the geometric core of ORBmatcher::Fuse, ORBmatcher.cc:1109)."""
+    """Project landmarks into a keyframe and Hamming-match within a window —
+    with the reference's Fuse acceptance gates (ORBmatcher.cc:1109):
+    positive depth, distance inside the scale-invariance range
+    [0.8 minDist, 1.2 maxDist], and viewing angle < 60 deg to the mean
+    normal. Without these, fusing over-merges distinct landmarks."""
     pose = se3.SE3(pose_R, pose_t)
     x_c = se3.act(pose, lm_pos)
     uv = cam.project(x_c)
-    ok = lm_valid & (x_c[..., 2] > 0.3)
+
+    C = -jnp.einsum("ji,j->i", pose_R, pose_t)  # camera center in world
+    v = lm_pos - C
+    dist = jnp.linalg.norm(v, axis=-1)
+    dist_ok = (dist >= 0.8 * lm_min_dist) & (dist <= 1.2 * lm_max_dist)
+    n_norm = jnp.linalg.norm(lm_normal, axis=-1)
+    cos_view = jnp.sum(v * lm_normal, axis=-1) / jnp.maximum(dist * n_norm, 1e-9)
+    angle_ok = (cos_view > 0.5) | (n_norm < 1e-6)  # < 60 deg (or no normal yet)
+
+    ok = lm_valid & (x_c[..., 2] > 0.3) & dist_ok & angle_ok
     window = matching.projection_window_mask(uv, kp_xy, radius_px)
     return matching.match_descriptors(
         lm_desc, kp_desc, ok, kp_valid,
@@ -116,17 +129,24 @@ class LocalMapper:
             pos = np.zeros((cap, 3), np.float32)
             desc = np.zeros((cap, 8), np.uint32)
             val = np.zeros(cap, bool)
+            normal = np.zeros((cap, 3), np.float32)
+            dmin = np.zeros(cap, np.float32)
+            dmax = np.full(cap, np.inf, np.float32)
             m = len(lm_ids)
             pos[:m] = store.lm_pos[lm_ids]
             desc[:m] = store.lm_desc[lm_ids]
             val[:m] = True
+            normal[:m] = store.lm_normal[lm_ids]
+            dmin[:m] = store.lm_min_dist[lm_ids]
+            dmax[:m] = store.lm_max_dist[lm_ids]
             res = _project_and_match(
                 jnp.asarray(store.kf_R[target_kf]), jnp.asarray(store.kf_t[target_kf]),
                 jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
+                jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
                 jnp.asarray(store.kf_xy[target_kf]),
                 jnp.asarray(store.kf_desc[target_kf]),
                 jnp.asarray(store.kf_kp_valid[target_kf]),
-                self.cam, 4.0,
+                self.cam, 3.0,
             )
             hits = np.where(np.asarray(res.valid)[:m])[0]
             kp_idx = np.asarray(res.idx)[:m]
@@ -340,7 +360,13 @@ class LocalMapper:
         return problem, meta
 
     def local_ba(self, center_kf: int):
-        """Gather -> jitted Schur LM -> write back -> prune outliers."""
+        """Gather -> jitted Schur LM -> write back -> prune outliers.
+
+        When the keyframes carry LiDAR feature clouds, a tight-coupling
+        stage follows (g2oOptimizer.cc:978-1117): the optimized neighbor
+        poses rebuild the lidar local maps, the center KF's features are
+        re-associated, and its pose is refined with fused visual + lidar
+        residuals."""
         problem, (kf_ids, lm_ids, e_kf, e_pt_slot, e_kp) = self.gather_problem(center_kf)
         result, survivors, stats = self._ba_jit(problem)
 
@@ -358,7 +384,91 @@ class LocalMapper:
         surv = np.asarray(survivors[: len(e_kf)])
         for j in np.where(~surv)[0]:
             store.erase_observation(int(lm_ids[e_pt_slot[j]]), int(e_kf[j]))
+
+        if store.kf_corner_valid[center_kf].any():
+            self._lidar_stage(center_kf)
         return stats
+
+    def _lidar_stage(self, kf: int, match_dist: float = 0.45):
+        """Fused visual+LiDAR refinement of the center keyframe pose against
+        the post-BA lidar local map (the reference's 20-iteration lidar
+        stage of local BA, g2oOptimizer.cc:978-1117)."""
+        from ..lidar import odometry as lidar_odometry
+        from ..lidar import voxel_map
+        from ..optim import pose_opt
+
+        store = self.store
+        # Lidar local map from the OPTIMIZED neighbor poses.
+        neighbors = [int(x) for x in store.best_covisible(kf, 10)]
+        neighbors = [k for k in neighbors if store.kf_corner_valid[k].any()]
+        if not neighbors:
+            return
+        n_slots = 10
+        Nc, Nf = store.corner_per_kf, store.flat_per_kf
+        corner = np.zeros((n_slots * Nc, 3), np.float32)
+        corner_v = np.zeros(n_slots * Nc, bool)
+        flat = np.zeros((n_slots * Nf, 3), np.float32)
+        flat_n = np.zeros((n_slots * Nf, 3), np.float32)
+        flat_v = np.zeros(n_slots * Nf, bool)
+        for i, k in enumerate(neighbors[:n_slots]):
+            R, t = store.kf_R[k], store.kf_t[k]
+            corner[i * Nc : (i + 1) * Nc] = (store.kf_corner[k] - t) @ R
+            corner_v[i * Nc : (i + 1) * Nc] = store.kf_corner_valid[k]
+            flat[i * Nf : (i + 1) * Nf] = (store.kf_flat[k] - t) @ R
+            flat_n[i * Nf : (i + 1) * Nf] = store.kf_flat_normal[k] @ R
+            flat_v[i * Nf : (i + 1) * Nf] = store.kf_flat_valid[k]
+        if corner_v.sum() + flat_v.sum() < 100:
+            return
+        lmap = lidar_odometry.build_local_map(
+            jnp.asarray(corner), jnp.asarray(corner_v),
+            jnp.asarray(flat), jnp.asarray(flat_v), jnp.asarray(flat_n),
+            lidar_odometry.OdomConfig(),
+        )
+
+        # Visual observations of the center KF from its landmark bindings.
+        pose = se3.SE3(jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]))
+        kp_lm = store.kf_obs_lm[kf]
+        sel = kp_lm >= 0
+        cap = 1024
+        pts = np.zeros((cap, 3), np.float32)
+        uvr = np.full((cap, 3), -1.0, np.float32)
+        is2 = np.ones(cap, np.float32)
+        val = np.zeros(cap, bool)
+        idx = np.where(sel)[0][:cap]
+        pts[: len(idx)] = store.lm_pos[kp_lm[idx]]
+        uvr[: len(idx)] = store.kf_uvr[kf, idx]
+        is2[: len(idx)] = 1.0 / (1.2 ** (2 * store.kf_octave[kf, idx]))
+        val[: len(idx)] = True
+        obs = pose_opt.VisualObs(
+            points_w=jnp.asarray(pts), uvr=jnp.asarray(uvr),
+            inv_sigma2=jnp.asarray(is2), valid=jnp.asarray(val),
+        )
+
+        # Associate the KF's own (stored, KF-frame) features at its pose.
+        c_pts = jnp.asarray(store.kf_corner[kf])
+        c_val = jnp.asarray(store.kf_corner_valid[kf])
+        f_pts = jnp.asarray(store.kf_flat[kf])
+        f_val = jnp.asarray(store.kf_flat_valid[kf])
+        c_w = se3.act(se3.inverse(pose), c_pts)
+        f_w = se3.act(se3.inverse(pose), f_pts)
+        ci, _, cok = voxel_map.knn(lmap.corner, c_w, k=1, max_dist=match_dist)
+        fi, _, fok = voxel_map.knn(lmap.flat, f_w, k=1, max_dist=match_dist)
+        f_target = lmap.flat.points[fi[:, 0]]
+        f_normal = lmap.flat.payload[fi[:, 0]]
+        lobs = pose_opt.LidarObs(
+            flat_pts=f_pts,
+            plane_n=f_normal,
+            plane_d=-jnp.sum(f_normal * f_target, axis=-1),
+            flat_valid=fok[:, 0] & f_val,
+            corner_pts=c_pts,
+            corner_target=lmap.corner.points[ci[:, 0]],
+            corner_valid=cok[:, 0] & c_val,
+        )
+        result = pose_opt.optimize_pose(
+            pose, obs, self.cam, lidar_obs=lobs, rounds=1, iters_per_round=5,
+            lidar_iters=20,
+        )
+        store.set_kf_pose(kf, np.asarray(result.pose.R), np.asarray(result.pose.t))
 
     # ------------------------------------------------------------------
 

@@ -124,6 +124,14 @@ class SlamSystem:
         frame = build_frame(image, self.cam, self.cfg.orb, depth_img=depth_img)
         return self.tracker.track(frame)
 
+    def track_stereo(self, img_left: jnp.ndarray, img_right: jnp.ndarray):
+        """Stereo entry (System::TrackStereo): row-constrained left-right ORB
+        matching supplies the u_right/depth observations."""
+        from .frame import build_frame_stereo
+
+        frame = build_frame_stereo(img_left, img_right, self.cam, self.cfg.orb)
+        return self.tracker.track(frame)
+
     def track_monocular(self, image: jnp.ndarray):
         """Monocular entry (System::TrackMonocular, System.h:127): two-view
         H/F-RANSAC initialization, then mono tracking with landmarks from
@@ -170,6 +178,14 @@ class SlamSystem:
         sys_.tracker.state = TrackState.LOST
         sys_.tracker.ref_kf = max(store.num_kf - 1, 0)
         return sys_
+
+    def activate_localization_mode(self):
+        """Track against the frozen map without inserting keyframes
+        (System::ActivateLocalizationMode, System.cc:304-319)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
 
     def reset(self):
         """System::Reset (System.cc:338): clear map + tracking state."""

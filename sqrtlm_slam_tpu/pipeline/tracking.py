@@ -238,6 +238,7 @@ class Tracker:
         self._key = jax.random.PRNGKey(42)  # RANSAC seeds (fallback/reloc)
         self.reloc_db = None  # KeyFrameDatabase set by the system
         self.frames_lost = 0
+        self.localization_only = False  # ActivateLocalizationMode (System.cc:304)
         self._init_ref: Optional[Frame] = None  # mono init reference frame
         self.last_lidar_matches = 0  # tight-coupling association count
 
@@ -564,6 +565,17 @@ class Tracker:
             return None
 
         if self.state == TrackState.LOST:
+            # Lost soon after init with a tiny map -> full reset and
+            # re-initialize (Tracking.cc:547-556, System::Reset).
+            if self.store.num_kf <= 5:
+                self.store.reset()
+                self.state = TrackState.NOT_INITIALIZED
+                self.ref_kf = -1
+                self.trajectory.clear()
+                self.last_lm_ids = None
+                if self._initialize(frame):
+                    return self.pose
+                return None
             # Relocalization (Tracking.cc:2334-2554): BoW candidate KFs ->
             # 3D-3D RANSAC against their local landmarks -> re-seed tracking.
             if not self._relocalize(frame):
@@ -629,7 +641,7 @@ class Tracker:
         self.state = TrackState.OK
         self.last_inliers = n
 
-        if self._need_keyframe(n, frame):
+        if not self.localization_only and self._need_keyframe(n, frame):
             self._insert_keyframe(frame)
         self._record_trajectory()
         return pose

@@ -87,11 +87,18 @@ class TestSchurAlgebra:
         # Dense reference: assemble the full (6P + 3L) system.
         H_full = np.zeros((6 * P + 3 * L, 6 * P + 3 * L))
         b_full = np.zeros(6 * P + 3 * L)
+        # Marquardt damping (matches reduce_and_solve): mu * diag + 1e-8 I.
         for p in range(P):
-            H_full[6 * p : 6 * p + 6, 6 * p : 6 * p + 6] = np.asarray(Hpp[p]) + 1e-3 * np.eye(6)
+            Hp = np.asarray(Hpp[p])
+            H_full[6 * p : 6 * p + 6, 6 * p : 6 * p + 6] = (
+                Hp + 1e-3 * np.diag(np.diag(Hp)) + 1e-8 * np.eye(6)
+            )
         for l in range(L):
             s = 6 * P + 3 * l
-            H_full[s : s + 3, s : s + 3] = np.asarray(Hll[l]) + 1e-3 * np.eye(3)
+            Hl = np.asarray(Hll[l])
+            H_full[s : s + 3, s : s + 3] = (
+                Hl + 1e-3 * np.diag(np.diag(Hl)) + 1e-8 * np.eye(3)
+            )
         W_np = np.asarray(W).reshape(6 * P, L, 3)
         for l in range(L):
             H_full[: 6 * P, 6 * P + 3 * l : 6 * P + 3 * l + 3] = W_np[:, l, :]

@@ -1,0 +1,56 @@
+"""Utils: Kalman filter, timers, trajectory plot."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from sqrtlm_slam_tpu.utils import StageTimer, TicToc
+from sqrtlm_slam_tpu.utils import kalman
+
+
+class TestKalman:
+    def test_tracks_constant_velocity(self):
+        rng = np.random.RandomState(0)
+        v = np.array([1.0, 0.5, -0.2])
+        s = kalman.init(jnp.zeros(3))
+        for k in range(1, 40):
+            z = jnp.asarray(v * k * 0.1 + rng.normal(0, 0.01, 3))
+            s = kalman.step(s, z, dt=0.1)
+        np.testing.assert_allclose(np.asarray(s.x[3:]), v, atol=0.05)
+        np.testing.assert_allclose(np.asarray(s.x[:3]), v * 3.9, atol=0.05)
+
+    def test_covariance_contracts(self):
+        s = kalman.init(jnp.zeros(3), pos_var=10.0)
+        p0 = float(jnp.trace(s.P))
+        for _ in range(10):
+            s = kalman.step(s, jnp.zeros(3), dt=0.1)
+        assert float(jnp.trace(s.P)) < p0
+
+
+class TestTimers:
+    def test_tictoc_and_stage_timer(self):
+        t = TicToc()
+        assert t.toc() >= 0.0
+        st = StageTimer()
+        with st.stage("a"):
+            pass
+        with st.stage("a"):
+            pass
+        assert st.counts["a"] == 2
+        assert "a" in st.summary()
+
+
+def test_plot_trajectory(tmp_path):
+    from sqrtlm_slam_tpu.eval.plot import plot_trajectory
+
+    est = np.tile(np.eye(4), (20, 1, 1))
+    est[:, 0, 3] = np.linspace(0, 10, 20)
+    gt = est.copy()
+    gt[:, 2, 3] = 0.1
+    lm = np.random.RandomState(0).randn(100, 3)
+    out = plot_trajectory(
+        str(tmp_path / "traj.png"), est, gt=gt,
+        comparisons={"prior": gt}, landmarks=lm,
+    )
+    assert os.path.getsize(out) > 1000
