@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--resume", default=None, help="resume from map checkpoint")
     ap.add_argument("--max-features", type=int, default=2000)
     ap.add_argument("--json", action="store_true", help="print one JSON summary line")
+    ap.add_argument("--plot", default=None, help="write top-down trajectory PNG here")
+    ap.add_argument("--profile", default=None,
+                    help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
 
     import os
@@ -90,6 +93,13 @@ def main():
             seq.image(i) if args.mode != "lidar" else None,
             seq.velodyne(i),
         )
+
+    import contextlib
+
+    prof_ctx = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
+    prof_ctx.__enter__()
 
     if args.mode == "lidar":
         from sqrtlm_slam_tpu.lidar.odometry import LidarOdometry, OdomConfig
@@ -160,9 +170,27 @@ def main():
             slam.save(args.checkpoint)
         print(f"tracked {tracked}/{n} frames", file=sys.stderr)
 
+    prof_ctx.__exit__(None, None, None)
+    if args.profile:
+        print(f"profiler trace -> {args.profile} (view with xprof/tensorboard)",
+              file=sys.stderr)
+
     out = args.out or f"traj_{args.seq}_{args.mode}.txt"
     kitti.write_kitti_poses(out, est)
     print(f"trajectory -> {out}", file=sys.stderr)
+
+    if args.plot:
+        from sqrtlm_slam_tpu.eval.plot import plot_trajectory
+
+        lms = None
+        if args.mode != "lidar":
+            sel = slam.store.lm_valid[: slam.store.num_lm]
+            lms = slam.store.lm_pos[: slam.store.num_lm][sel]
+        plot_trajectory(
+            args.plot, est, gt=seq.gt_poses[: len(est)] if seq.gt_poses is not None else None,
+            landmarks=lms, title=f"KITTI {args.seq} ({args.mode})",
+        )
+        print(f"plot -> {args.plot}", file=sys.stderr)
 
     result = {"seq": args.seq, "mode": args.mode, "frames": int(n)}
     if seq.gt_poses is not None and len(est):

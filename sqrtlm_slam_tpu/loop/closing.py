@@ -237,7 +237,16 @@ class LoopCloser:
             p_new = sim3.act(sim3.inverse(corrected[i]), sim3.act(S_old, p))
             store.lm_pos[lms] = np.asarray(p_new)
 
-        # Write corrected group poses (scale folded into translation).
+        # Pre-correction snapshot: edge MEASUREMENTS come from these
+        # (the reference's NonCorrectedSim3 map, LoopClosing.cc:680-720) —
+        # measuring chain edges from partially-corrected poses would bake
+        # the loop discontinuity into the measurements.
+        s_meas = s_all.copy()
+        R_meas = R_all.copy()
+        t_meas = t_all.copy()
+
+        # Write corrected group poses (scale folded into translation);
+        # these are the INITIAL VALUES for the essential graph.
         for i, S in corrected.items():
             T = sim3.to_se3(S)
             store.set_kf_pose(i, np.asarray(T.R), np.asarray(T.t))
@@ -247,7 +256,8 @@ class LoopCloser:
 
         # ---- essential graph over all keyframes ----
         problem = self._build_pose_graph(
-            kf_cur, kf_loop, S12, s_all, R_all, t_all
+            kf_cur, kf_loop, S12, s_all, R_all, t_all,
+            s_meas, R_meas, t_meas,
         )
         out, _ = essential_graph.optimize_pose_graph(
             problem, num_iters=cfg.essential_iters
@@ -262,28 +272,23 @@ class LoopCloser:
         if cfg.run_gba:
             self.run_global_ba()
 
-    def _build_pose_graph(self, kf_cur, kf_loop, S12, s_all, R_all, t_all):
+    def _build_pose_graph(self, kf_cur, kf_loop, S12, s_all, R_all, t_all,
+                          s_meas, R_meas, t_meas):
         """Edges: spanning tree + previous loop edges + strong covis + the
-        new loop edge. Measurements from PRE-correction relative poses
-        except the new loop edge (its measured Sim3)."""
+        new loop edge. Measurements come from the PRE-correction snapshot
+        (s/R/t_meas); initial values from the corrected poses (s/R/t_all)."""
         store, cfg = self.store, self.cfg
         K = store.num_kf
         E = cfg.edge_cap
 
-        # Pre-correction measurement poses (before group correction): use
-        # the snapshot taken in correct_loop *before* writes — R_all/t_all
-        # already contain corrected group poses, so recompute measurements
-        # from the spanning-tree-consistent stored relative structure is
-        # approximated by current relative poses; the corrected group edges
-        # are consistent with their (identical) relative transforms.
         e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
 
         def add_edge(i, j, S_ji=None):
             if len(e_i) >= E or i < 0 or j < 0 or i == j:
                 return
             if S_ji is None:
-                S_i = sim3.Sim3(jnp.asarray(s_all[i]), jnp.asarray(R_all[i]), jnp.asarray(t_all[i]))
-                S_j = sim3.Sim3(jnp.asarray(s_all[j]), jnp.asarray(R_all[j]), jnp.asarray(t_all[j]))
+                S_i = sim3.Sim3(jnp.asarray(s_meas[i]), jnp.asarray(R_meas[i]), jnp.asarray(t_meas[i]))
+                S_j = sim3.Sim3(jnp.asarray(s_meas[j]), jnp.asarray(R_meas[j]), jnp.asarray(t_meas[j]))
                 S_ji = sim3.compose(S_j, sim3.inverse(S_i))
             e_i.append(i)
             e_j.append(j)

@@ -1,0 +1,66 @@
+"""Failure-handling + determinism tests (SURVEY §5.2/§5.3).
+
+The reference's resilience is algorithmic (lost-state machine, reloc,
+reset-if-early-loss); its thread-safety is hand-written mutexes with no
+sanitizers. Here the pipeline is lock-free by design, so the 'race
+detector' analogue is a strict determinism check: identical inputs must
+produce identical trajectories. Failure injection covers occlusion
+(blank frames) and corrupted input.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, SyntheticWorld, forward_trajectory
+from sqrtlm_slam_tpu.frontend import orb
+from sqrtlm_slam_tpu.pipeline.system import SlamSystem, SystemConfig
+from sqrtlm_slam_tpu.pipeline.tracking import TrackState
+
+
+def _run(n_frames=8, blank=(), noise_frame=None, seed=2):
+    world = SyntheticWorld(seed=seed, n_points=1000)
+    poses = forward_trajectory(n_frames, step=0.35)
+    s = SlamSystem(DEFAULT_CAM, SystemConfig(orb=orb.ORBConfig(max_features=600)))
+    results = []
+    for i, T in enumerate(poses):
+        img, depth = world.render(T, DEFAULT_CAM)
+        if i in blank:
+            img = jnp.full_like(img, 25.0)
+            depth = jnp.zeros_like(depth)
+        if noise_frame == i:
+            rng = np.random.RandomState(0)
+            img = jnp.asarray(rng.rand(*img.shape).astype(np.float32) * 255)
+            depth = jnp.zeros_like(depth)
+        p = s.track_frame_result = s.track_depth(img, depth)
+        results.append(p is not None)
+    return s, results
+
+
+class TestFailureRecovery:
+    def test_occlusion_recovers(self):
+        """Blank frames mid-sequence -> LOST -> relocalize when vision returns."""
+        s, results = _run(n_frames=10, blank=(4, 5))
+        assert results[:4] == [True] * 4
+        assert results[4] is False and results[5] is False
+        # Recovery within two frames of vision returning.
+        assert any(results[6:8]), f"no reloc after occlusion: {results}"
+        assert s.state == TrackState.OK
+
+    def test_garbage_frame_does_not_poison_map(self):
+        """One noise frame must not corrupt the map or crash."""
+        s, results = _run(n_frames=8, noise_frame=3)
+        assert sum(results) >= 6
+        assert np.isfinite(s.store.lm_pos[: s.store.num_lm]).all()
+        assert np.isfinite(s.store.kf_t[: s.store.num_kf]).all()
+
+
+class TestDeterminism:
+    def test_identical_runs_identical_trajectories(self):
+        s1, _ = _run(n_frames=7)
+        s2, _ = _run(n_frames=7)
+        t1 = s1.get_trajectory()
+        t2 = s2.get_trajectory()
+        np.testing.assert_array_equal(t1, t2)
+        assert s1.num_landmarks() == s2.num_landmarks()
