@@ -207,12 +207,20 @@ def recover_pose_no_prior(
     )
     depth = frame.depth[res.idx]
     uv = frame.kp.xy[res.idx]
+    is2 = frame.inv_sigma2[res.idx]
+    # Depth-carrying matches -> 3D-3D Horn RANSAC (stronger); depth-less
+    # (mono) -> 2D-3D DLT resection. Run both banks, keep the better.
+    k1, k2 = jax.random.split(key)
     pts_c = cam.backproject(uv, depth)
-    ok = res.valid & (depth > 0)
-    out = pnp.ransac_pose_3d3d(
-        key, lm.pos, pts_c, uv, ok, frame.inv_sigma2[res.idx], cam
+    ok3d = res.valid & (depth > 0)
+    out3 = pnp.ransac_pose_3d3d(k1, lm.pos, pts_c, uv, ok3d, is2, cam)
+    out2 = pnp.ransac_pnp_2d3d(k2, lm.pos, uv, res.valid, is2, cam)
+    use3 = out3.num_inliers >= out2.num_inliers
+    pose = se3.SE3(
+        jnp.where(use3, out3.pose.R, out2.pose.R),
+        jnp.where(use3, out3.pose.t, out2.pose.t),
     )
-    return out.pose, out.num_inliers
+    return pose, jnp.maximum(out3.num_inliers, out2.num_inliers)
 
 
 class Tracker:
