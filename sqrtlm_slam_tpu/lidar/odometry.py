@@ -97,6 +97,22 @@ def _association(pose: se3.SE3, pts_s, valid, grid: vmap.VoxelMap, max_dist):
     return idx[:, 0], ok[:, 0] & valid
 
 
+# DoF-restriction presets mirroring the reference's analytic per-DoF factors
+# `LidarPlaneFactor_{z_rot_xy_trans, z_trans, x_rot, y_rot, xy_rot_z_trans,
+# xyz_rot_xyz_trans}` (lidarFactor.h:493-901). Tangent order is
+# [tx, ty, tz, rx, ry, rz] (se3.retract); a zero masks that DoF out of the
+# solve (the TPU equivalent of a SizedCostFunction with zeroed Jacobian
+# columns — one masked solve replaces six hand-written factor classes).
+DOF_PRESETS = {
+    "z_rot_xy_trans": jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0]),
+    "z_trans": jnp.array([0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    "x_rot": jnp.array([0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+    "y_rot": jnp.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
+    "xy_rot_z_trans": jnp.array([0.0, 0.0, 1.0, 1.0, 1.0, 0.0]),
+    "xyz_rot_xyz_trans": jnp.ones(6),
+}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def align_scan(
     pose0: se3.SE3,
@@ -106,13 +122,17 @@ def align_scan(
     flat_valid: jnp.ndarray,
     local_map: LocalMap,
     cfg: OdomConfig,
+    dof_mask: Optional[jnp.ndarray] = None,
 ):
     """Scan-to-map alignment: outer re-association x inner damped GN.
 
     pose0: initial guess T_lw (world -> lidar). Returns (pose, stats dict).
     One fused XLA computation — the reference's per-iteration kd-tree queries
     + Ceres solves (lidarOdom.cc:1419-1495) become gathers + 6x6 solves.
+    `dof_mask` (6,) restricts the update to a DoF subset (see DOF_PRESETS).
     """
+    if dof_mask is None:
+        dof_mask = jnp.ones(6)
 
     def outer(pose, _):
         c_idx, c_ok = _association(
@@ -142,9 +162,13 @@ def align_scan(
 
             H = Hc + Hf
             b = bc + bf
+            # DoF restriction: zero masked rows/cols, pin their diagonal.
+            m = dof_mask.astype(H.dtype)
+            H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            b = b * m
             lam = cfg.damping * jnp.maximum(jnp.max(jnp.abs(jnp.diag(H))), 1e-9)
             dx = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), -b)
-            return se3.retract(pose, dx), chic + chif
+            return se3.retract(pose, dx * m), chic + chif
 
         pose, chi2 = jax.lax.scan(gn, pose, None, length=cfg.gn_iters)
         n_matched = jnp.sum(c_ok) + jnp.sum(f_ok)
@@ -176,6 +200,12 @@ class LidarOdometry:
         self._kf_flat: list = []  # world-frame (pts, valid, normals)
         self._local_map: Optional[LocalMap] = None
         self.num_keyframes = 0
+        # Modes (art::Odom variants, lidarOdom.cc):
+        #   "slam"         — FrontEndForSLAM (:1369): sliding keyframe window
+        #   "mapping"      — FrontEndForMapping (:1575): unbounded map growth
+        #   "localization" — FrontEndForLocalization (:1952): align against a
+        #                    fixed prior map, never modify it
+        self.mode = "slam"
 
     # -- keyframe management -------------------------------------------------
 
@@ -202,7 +232,7 @@ class LidarOdometry:
         self._kf_flat.append(
             (np.asarray(flat_src_w), np.asarray(f.flat_valid), np.asarray(n_w))
         )
-        if len(self._kf_corner) > self.cfg.kf_window:
+        if self.mode != "mapping" and len(self._kf_corner) > self.cfg.kf_window:
             self._kf_corner.pop(0)
             self._kf_flat.pop(0)
         self.last_kf_pose = pose
@@ -219,13 +249,32 @@ class LidarOdometry:
 
     # -- main entry ----------------------------------------------------------
 
-    def process(self, points: jnp.ndarray) -> se3.SE3:
+    def set_prior_map(
+        self, corner_w, corner_valid, flat_w, flat_valid, flat_normals_w
+    ):
+        """Load a fixed world-frame prior map and enter localization mode
+        (art::Odom::FrontEndForLocalization, lidarOdom.cc:1952-2466)."""
+        self._local_map = build_local_map(
+            jnp.asarray(corner_w), jnp.asarray(corner_valid),
+            jnp.asarray(flat_w), jnp.asarray(flat_valid),
+            jnp.asarray(flat_normals_w), self.cfg,
+        )
+        self.mode = "localization"
+
+    def process(self, points: jnp.ndarray, dof: Optional[str] = None) -> se3.SE3:
         """Track one raw LiDAR cloud (N, 3) in the sensor frame."""
         f = feat.extract_features(points, self.feat_cfg)
-        return self.process_features(f)
+        return self.process_features(f, dof=dof)
 
-    def process_features(self, f: feat.LidarFeatures) -> se3.SE3:
+    def process_features(
+        self, f: feat.LidarFeatures, dof: Optional[str] = None
+    ) -> se3.SE3:
+        """Track one pre-extracted feature scan. `dof` optionally names a
+        DOF_PRESETS entry restricting the solve (per-DoF estimation, the
+        reference's restricted LidarPlaneFactor_* family)."""
         if self._local_map is None:
+            if self.mode == "localization":
+                raise RuntimeError("localization mode requires set_prior_map()")
             self._insert_keyframe(self.pose, f)
             return self.pose
 
@@ -238,10 +287,11 @@ class LidarOdometry:
             f.flat_valid,
             self._local_map,
             self.cfg,
+            dof_mask=None if dof is None else DOF_PRESETS[dof],
         )
         self.velocity = se3.local_delta(pose, self.pose)
         self.pose = pose
-        if self._is_keyframe(pose):
+        if self.mode != "localization" and self._is_keyframe(pose):
             self._insert_keyframe(pose, f)
         return pose
 

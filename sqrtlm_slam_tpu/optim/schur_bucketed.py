@@ -1,0 +1,417 @@
+"""Landmark-bucketed Schur BA engine — the scatter-free fast path.
+
+Same algebra as optim/schur.py (damped LM + landmark Schur elimination,
+mirroring the reference's mybackend `Problem::SolveLinearSystem`,
+/root/reference/src/backend/mybackend/problem.cc:429-563) but with the
+observation edges laid out **bucketed by landmark**: obs arrays have shape
+(L, K) where K is the per-landmark observation capacity (the map store
+already stores observations this way, mapstore/store.py `lm_obs_kf`).
+
+Why: the flat-edge engine assembles the cross term W via a segment-sum
+scatter into P*L block slots — measured as the dominant per-iteration cost
+on TPU (PERF.md). In bucketed layout every landmark-local reduction
+(Hll, bl, back-substitution) is a plain sum over the K axis, and the dense
+cross factor is built with batched one-hot matmuls (MXU work) instead of
+scatters. The Schur reduction itself uses the square-root form
+
+    Hll_d = Lc Lc^T          (batched closed-form 3x3 Cholesky)
+    V     = U Lc^{-T}        (whitened cross blocks, U = Jp^T w Jl)
+    Y     = scatter-by-cam(V)            (P*6, L*3), via one-hot matmul
+    S     = Hpp_d - Y Y^T                (one symmetric MXU matmul)
+    rhs   = -(bp - Y (Lc^{-1} bl))
+
+— the per-edge square-root information factoring that gives the reference
+its "SqrtLM" name (edge.h:95-99), applied blockwise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors import reprojection as reproj
+from ..geometry import se3
+from . import loss as losses
+
+# How to build the dense cross factor Y: "onehot" (batched MXU matmul) or
+# "scatter" (segment-sum into L*P block slots). Benchmarked on-chip; onehot
+# avoids TPU scatter serialization.
+Y_BUILD = "onehot"
+
+
+class BucketedBAProblem(NamedTuple):
+    """Fixed-capacity BA problem with (L, K) landmark-bucketed observations."""
+
+    pose_R: jnp.ndarray  # (P, 3, 3)
+    pose_t: jnp.ndarray  # (P, 3)
+    pose_fixed: jnp.ndarray  # (P,) bool
+    pose_valid: jnp.ndarray  # (P,) bool
+    points: jnp.ndarray  # (L, 3)
+    point_valid: jnp.ndarray  # (L,) bool
+    obs_cam: jnp.ndarray  # (L, K) int32 pose index (0 where invalid)
+    obs_uvr: jnp.ndarray  # (L, K, 3) [u, v, u_right]; u_right < 0 -> mono
+    obs_inv_sigma2: jnp.ndarray  # (L, K)
+    obs_valid: jnp.ndarray  # (L, K) bool
+
+    @property
+    def num_poses(self):
+        return self.pose_R.shape[0]
+
+    @property
+    def num_points(self):
+        return self.points.shape[0]
+
+    def poses(self) -> se3.SE3:
+        return se3.SE3(self.pose_R, self.pose_t)
+
+
+def from_flat(problem, K: int) -> BucketedBAProblem:
+    """Re-bucket a flat BAProblem (E,) by landmark into (L, K) slots.
+
+    Host-side one-time conversion (numpy); asserts no landmark exceeds K
+    observations among valid edges.
+    """
+    import numpy as np
+
+    L = problem.points.shape[0]
+    obs_pt = np.asarray(problem.obs_pt)
+    obs_cam = np.asarray(problem.obs_cam)
+    obs_uvr = np.asarray(problem.obs_uvr)
+    obs_is2 = np.asarray(problem.obs_inv_sigma2)
+    obs_val = np.asarray(problem.obs_valid)
+
+    cam_b = np.zeros((L, K), np.int32)
+    uvr_b = np.full((L, K, 3), -1.0, np.float32)
+    is2_b = np.ones((L, K), np.float32)
+    val_b = np.zeros((L, K), bool)
+    fill = np.zeros(L, np.int32)
+    for e in np.nonzero(obs_val)[0]:
+        l = obs_pt[e]
+        s = fill[l]
+        if s >= K:
+            raise ValueError(f"landmark {l} has more than K={K} observations")
+        cam_b[l, s] = obs_cam[e]
+        uvr_b[l, s] = obs_uvr[e]
+        is2_b[l, s] = obs_is2[e]
+        val_b[l, s] = True
+        fill[l] = s + 1
+    return BucketedBAProblem(
+        pose_R=problem.pose_R,
+        pose_t=problem.pose_t,
+        pose_fixed=problem.pose_fixed,
+        pose_valid=problem.pose_valid,
+        points=problem.points,
+        point_valid=problem.point_valid,
+        obs_cam=jnp.asarray(cam_b),
+        obs_uvr=jnp.asarray(uvr_b),
+        obs_inv_sigma2=jnp.asarray(is2_b),
+        obs_valid=jnp.asarray(val_b),
+    )
+
+
+# ----------------------------------------------------------------------
+# Closed-form batched 3x3 Cholesky machinery (the square-root factors).
+# ----------------------------------------------------------------------
+
+
+def chol3x3(M):
+    """Batched closed-form Cholesky of SPD (..., 3, 3): M = L L^T (lower)."""
+    eps = 1e-20
+    a11, a21, a31 = M[..., 0, 0], M[..., 1, 0], M[..., 2, 0]
+    a22, a32, a33 = M[..., 1, 1], M[..., 2, 1], M[..., 2, 2]
+    l11 = jnp.sqrt(jnp.maximum(a11, eps))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, eps))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, eps))
+    zero = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, zero, zero], axis=-1),
+            jnp.stack([l21, l22, zero], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def trinv_lower3x3(Lc):
+    """Batched closed-form inverse of lower-triangular (..., 3, 3)."""
+    l11, l21, l31 = Lc[..., 0, 0], Lc[..., 1, 0], Lc[..., 2, 0]
+    l22, l32, l33 = Lc[..., 1, 1], Lc[..., 2, 1], Lc[..., 2, 2]
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
+    m32 = -l32 * m22 * m33
+    zero = jnp.zeros_like(m11)
+    return jnp.stack(
+        [
+            jnp.stack([m11, zero, zero], axis=-1),
+            jnp.stack([m21, m22, zero], axis=-1),
+            jnp.stack([m31, m32, m33], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+# ----------------------------------------------------------------------
+# Edge terms in (L, K) layout — no scatter anywhere.
+# ----------------------------------------------------------------------
+
+
+def _edge_terms(problem: BucketedBAProblem, cam: reproj.Camera, active, robust_delta):
+    """Per-slot (r, Jp, Jl, w, chi2) with mono/stereo unified (L, K, ...)."""
+    T = se3.SE3(problem.pose_R[problem.obs_cam], problem.pose_t[problem.obs_cam])
+    X = problem.points[:, None, :]  # (L, 1, 3) broadcasts over K
+    uvr = problem.obs_uvr
+    is_stereo = uvr[..., 2] >= 0.0
+
+    r, Jp, Jl = reproj.stereo_residual_jac(T, X, uvr, cam)
+    row_mask = jnp.stack(
+        [jnp.ones_like(is_stereo), jnp.ones_like(is_stereo), is_stereo],
+        axis=-1,
+    ).astype(r.dtype)
+    r = r * row_mask
+    Jp = Jp * row_mask[..., None]
+    Jl = Jl * row_mask[..., None]
+
+    w_info = problem.obs_inv_sigma2 * active.astype(r.dtype)
+    e2 = w_info * jnp.sum(r * r, axis=-1)
+    if robust_delta is None:
+        w_rob = jnp.ones_like(e2)
+        rho = e2
+    else:
+        rho, w_rob, _ = losses.huber(robust_delta)(e2)
+    w = w_info * w_rob
+    chi2 = jnp.sum(jnp.where(active, rho, 0.0))
+    return r, Jp, Jl, w, chi2, e2
+
+
+def chi2_only(problem: BucketedBAProblem, cam, active, robust_delta):
+    return _edge_terms(problem, cam, active, robust_delta)[4]
+
+
+def edge_chi2_and_depth(problem: BucketedBAProblem, cam: reproj.Camera):
+    """Per-slot chi2 (info-weighted) and camera-frame depth, for gating."""
+    _, _, _, _, _, e2 = _edge_terms(problem, cam, problem.obs_valid, None)
+    T = se3.SE3(problem.pose_R[problem.obs_cam], problem.pose_t[problem.obs_cam])
+    z = se3.act(T, problem.points[:, None, :])[..., 2]
+    return e2, z
+
+
+# ----------------------------------------------------------------------
+# One damped step: build S, solve, back-substitute.
+# ----------------------------------------------------------------------
+
+
+def _build_Y(V, obs_cam, P):
+    """Scatter per-slot 6x3 blocks V (L, K, 6, 3) by camera -> (P*6, L*3)."""
+    L, K = V.shape[:2]
+    V18 = V.reshape(L, K, 18)
+    if Y_BUILD == "onehot":
+        O = jax.nn.one_hot(obs_cam, P, dtype=V.dtype)  # (L, K, P)
+        Y = jnp.einsum("lkp,lkd->pld", O, V18)  # batched MXU matmuls
+    else:
+        idx = (
+            jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, K)) * P
+            + obs_cam
+        ).reshape(-1)
+        Y = jax.ops.segment_sum(V18.reshape(L * K, 18), idx, num_segments=L * P)
+        Y = Y.reshape(L, P, 18).transpose(1, 0, 2)
+    # (P, L, 18) -> (P, 6, L, 3) -> (P*6, L*3)
+    return Y.reshape(P, L, 6, 3).transpose(0, 2, 1, 3).reshape(P * 6, L * 3)
+
+
+class LocalPieces(NamedTuple):
+    """Per-shard contributions to the reduced camera system + backsub ctx.
+
+    All of (S_half, Hpp_d, bp, rhs_corr, chi2) sum exactly across landmark
+    shards — the distributed path (parallel/dist_ba.py) psums them over ICI
+    and gets algebra identical to the single-device engine.
+    """
+
+    S_half: jnp.ndarray  # (P*6, P*6) = -Y Y^T + blockdiag(Hpp_d)
+    bp: jnp.ndarray  # (P, 6)
+    rhs_corr: jnp.ndarray  # (P*6,) = Y (Lc^{-1} bl)
+    chi2: jnp.ndarray  # ()
+    U: jnp.ndarray  # (L, K, 6, 3) backsub context (shard-local)
+    Minv: jnp.ndarray  # (L, 3, 3)
+    bl: jnp.ndarray  # (L, 3)
+
+
+def build_local_pieces(
+    problem: BucketedBAProblem, cam, active, robust_delta, mu
+) -> LocalPieces:
+    """Everything up to (but excluding) the global pose solve."""
+    P, L = problem.num_poses, problem.num_points
+    K = problem.obs_cam.shape[1]
+    r, Jp, Jl, w, chi2, _ = _edge_terms(problem, cam, active, robust_delta)
+    dtype = r.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    free_pose = (~problem.pose_fixed)[problem.obs_cam]
+    Jp = Jp * free_pose[..., None, None].astype(dtype)
+
+    # Landmark-local reductions: plain sums over the K axis.
+    Hll = jnp.einsum("lkri,lk,lkrj->lij", Jl, w, Jl)  # (L, 3, 3)
+    bl = jnp.einsum("lkri,lk,lkr->li", Jl, w, r)  # (L, 3)
+    U = jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jl)  # (L, K, 6, 3)
+
+    # Pose-block reductions as one-hot matmuls: TPU scatter (segment_sum)
+    # serializes; a (P, E) x (E, 36) MXU matmul is ~30x faster (measured,
+    # benchmarks/breakdown2.py).
+    O = jax.nn.one_hot(problem.obs_cam, P, dtype=dtype)  # (L, K, P)
+    Of = O.reshape(L * K, P)
+    Hpp = jnp.einsum(
+        "ep,ed->pd",
+        Of,
+        jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp).reshape(L * K, 36),
+    ).reshape(P, 6, 6)
+    bp = jnp.einsum(
+        "ep,ei->pi",
+        Of,
+        jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6),
+    )
+
+    # Damp (Marquardt multiplicative, matching problem.cc:632-676) + sqrt form.
+    dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+    Hll_d = Hll + mu * dll[..., None] * eye3 + 1e-8 * eye3
+    Hll_d = jnp.where(problem.point_valid[:, None, None], Hll_d, eye3)
+    Lc = chol3x3(Hll_d)
+    Minv = trinv_lower3x3(Lc)  # Lc^{-1}; Hll_d^{-1} = Minv^T Minv
+
+    # Whitened cross blocks V = U Lc^{-T}: V[i,j] = sum_m U[i,m] Minv[j,m].
+    V = jnp.einsum("lkim,ljm->lkij", U, Minv)
+    Y = _build_Y(V, problem.obs_cam, P)  # (P*6, L*3)
+
+    # Damping of Hpp is linear in Hpp's diagonal, so damping per-shard and
+    # psum-ing matches damping the psum (the 1e-8 absolute epsilon is scaled
+    # by shard count there — harmless).
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
+    S_half = -jnp.dot(Y, Y.T, precision=jax.lax.Precision.HIGHEST)
+    # Add the block-diagonal Hpp_d without a scatter (einsum with eye fuses).
+    S_half = S_half + jnp.einsum(
+        "pij,pq->piqj", Hpp_d, jnp.eye(P, dtype=dtype)
+    ).reshape(P * 6, P * 6)
+
+    z = jnp.einsum("lij,lj->li", Minv, bl)  # Lc^{-1} bl, (L, 3)
+    rhs_corr = jnp.dot(Y, z.reshape(-1))
+    return LocalPieces(
+        S_half=S_half, bp=bp, rhs_corr=rhs_corr, chi2=chi2, U=U, Minv=Minv, bl=bl
+    )
+
+
+def solve_pose_system(S, rhs, pose_fixed):
+    """Gauge-fix + dense Cholesky solve of the reduced camera system."""
+    dtype = S.dtype
+    fixed6 = jnp.repeat(pose_fixed, 6)
+    S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
+    S = S + jnp.diag(fixed6.astype(dtype))
+    rhs = jnp.where(fixed6, 0.0, rhs)
+    dxp_flat = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), rhs)
+    return dxp_flat.reshape(-1, 6)
+
+
+def back_substitute(pieces: LocalPieces, problem: BucketedBAProblem, dxp):
+    """Landmark back-substitution dxl = Hll_d^{-1}(-bl - W^T dxp) — local."""
+    dxp_g = dxp[problem.obs_cam]  # (L, K, 6)
+    Wt_dxp = jnp.einsum("lkij,lki->lj", pieces.U, dxp_g)  # (L, 3)
+    rhs_l = -pieces.bl - Wt_dxp
+    Minv = pieces.Minv
+    dxl = jnp.einsum("lji,ljk,lk->li", Minv, Minv, rhs_l)  # Minv^T (Minv rhs)
+    return jnp.where(problem.point_valid[:, None], dxl, 0.0)
+
+
+def reduce_and_solve(problem: BucketedBAProblem, cam, active, robust_delta, mu):
+    """One damped-GN step. Returns (dxp (P,6), dxl (L,3), chi2, bp, bl)."""
+    pieces = build_local_pieces(problem, cam, active, robust_delta, mu)
+    rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+    dxp = solve_pose_system(pieces.S_half, rhs, problem.pose_fixed)
+    dxp = jnp.where(problem.pose_fixed[:, None], 0.0, dxp)
+    dxl = back_substitute(pieces, problem, dxp)
+    return dxp, dxl, pieces.chi2, pieces.bp, pieces.bl
+
+
+def _apply_update(problem: BucketedBAProblem, dxp, dxl) -> BucketedBAProblem:
+    poses = se3.retract(problem.poses(), dxp)
+    free = (~problem.pose_fixed)[:, None]
+    new_R = jnp.where(free[..., None], poses.R, problem.pose_R)
+    new_t = jnp.where(free, poses.t, problem.pose_t)
+    return problem._replace(pose_R=new_R, pose_t=new_t, points=problem.points + dxl)
+
+
+def ba_iterate(
+    problem: BucketedBAProblem,
+    cam: reproj.Camera,
+    active,
+    num_iters: int,
+    robust_delta: Optional[float],
+) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
+    """Nielsen-damped LM loop (protocol identical to schur.ba_iterate)."""
+    chi20 = chi2_only(problem, cam, active, robust_delta)
+    mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
+
+    def body(carry, _):
+        prob, chi2, mu, nu, n_acc = carry
+        dxp, dxl, _, bp, bl = reduce_and_solve(prob, cam, active, robust_delta, mu)
+        candidate = _apply_update(prob, dxp, dxl)
+        chi2_c = chi2_only(candidate, cam, active, robust_delta)
+        dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
+        b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
+        predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
+        rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
+        accept = (rho > 0) & jnp.isfinite(chi2_c)
+        # Select only the mutable fields (poses/points) — the observation
+        # arrays are identical in both, no need to copy them per iteration.
+        prob_new = prob._replace(
+            pose_R=jnp.where(accept, candidate.pose_R, prob.pose_R),
+            pose_t=jnp.where(accept, candidate.pose_t, prob.pose_t),
+            points=jnp.where(accept, candidate.points, prob.points),
+        )
+        chi2_new = jnp.where(accept, chi2_c, chi2)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_new = jnp.where(accept, mu * factor, mu * nu)
+        nu_new = jnp.where(accept, 2.0, nu * 2.0)
+        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+
+    init = (
+        problem,
+        chi20,
+        mu0,
+        jnp.asarray(2.0, dtype=chi20.dtype),
+        jnp.asarray(0, dtype=jnp.int32),
+    )
+    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return problem, chi2, n_acc
+
+
+def local_ba(
+    problem: BucketedBAProblem,
+    cam: reproj.Camera,
+    first_iters: int = 5,
+    second_iters: int = 10,
+):
+    """Two-phase local BA protocol (5 robust iters -> chi2/depth gate ->
+    10 iters), g2oOptimizer.cc:930-976. Returns (problem, survivors, chi2)."""
+    delta2 = math.sqrt(losses.CHI2_2DOF)
+    problem, _, acc1 = ba_iterate(
+        problem, cam, problem.obs_valid, first_iters, robust_delta=delta2
+    )
+    is_stereo = problem.obs_uvr[..., 2] >= 0.0
+    gate = jnp.where(is_stereo, losses.CHI2_3DOF, losses.CHI2_2DOF)
+    e2, z = edge_chi2_and_depth(problem, cam)
+    active = problem.obs_valid & (e2 <= gate) & (z > 0)
+    problem, chi2, acc2 = ba_iterate(
+        problem, cam, active, second_iters, robust_delta=None
+    )
+    e2, z = edge_chi2_and_depth(problem, cam)
+    survivors = problem.obs_valid & (e2 <= gate) & (z > 0)
+    return problem, survivors, chi2

@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..factors.reprojection import Camera
 from ..geometry import se3
-from ..optim import schur
+from ..optim import schur, schur_bucketed
 from ..optim import loss as losses
 
 
@@ -246,6 +246,154 @@ def make_distributed_ba_step(
         return sp._replace(pose_R=pose_R, pose_t=pose_t, points=points), chi2
 
     return step
+
+
+# ----------------------------------------------------------------------
+# Bucketed distributed BA — the fast path (optim/schur_bucketed.py).
+#
+# The (L, K) landmark-bucketed layout shards trivially: round-robin landmark
+# ROWS over the mesh axis; every per-landmark quantity (Hll, bl, U, backsub)
+# is shard-local by construction, and the per-shard LocalPieces
+# (S_half, bp, rhs_corr, chi2) sum exactly — ONE psum yields the global
+# reduced camera system, then every device solves it redundantly and
+# back-substitutes its own rows. No scatters anywhere.
+# ----------------------------------------------------------------------
+
+
+class ShardedBucketedBA(NamedTuple):
+    pose_R: jnp.ndarray  # (P, 3, 3) replicated
+    pose_t: jnp.ndarray  # (P, 3)
+    pose_fixed: jnp.ndarray  # (P,)
+    points: jnp.ndarray  # (D, Ls, 3) sharded
+    point_valid: jnp.ndarray  # (D, Ls)
+    obs_cam: jnp.ndarray  # (D, Ls, K)
+    obs_uvr: jnp.ndarray  # (D, Ls, K, 3)
+    obs_inv_sigma2: jnp.ndarray  # (D, Ls, K)
+    obs_valid: jnp.ndarray  # (D, Ls, K)
+
+
+def partition_bucketed(
+    b: schur_bucketed.BucketedBAProblem, n_shards: int
+) -> Tuple[ShardedBucketedBA, np.ndarray]:
+    """Round-robin landmark rows -> shards (pure gather, no edge rework)."""
+    L = b.num_points
+    Ls = -(-L // n_shards)
+    lm_ids = np.full((n_shards, Ls), -1, np.int64)
+    for d in range(n_shards):
+        ids = np.arange(d, L, n_shards)
+        lm_ids[d, : len(ids)] = ids
+
+    def shard_rows(x, fill):
+        out = np.full((n_shards, Ls) + x.shape[1:], fill, np.asarray(x).dtype)
+        xn = np.asarray(x)
+        for d in range(n_shards):
+            ids = lm_ids[d]
+            sel = ids >= 0
+            out[d, sel] = xn[ids[sel]]
+        return jnp.asarray(out)
+
+    sharded = ShardedBucketedBA(
+        pose_R=b.pose_R,
+        pose_t=b.pose_t,
+        pose_fixed=b.pose_fixed,
+        points=shard_rows(b.points, 0.0),
+        point_valid=shard_rows(b.point_valid, False),
+        obs_cam=shard_rows(b.obs_cam, 0),
+        obs_uvr=shard_rows(b.obs_uvr, -1.0),
+        obs_inv_sigma2=shard_rows(b.obs_inv_sigma2, 1.0),
+        obs_valid=shard_rows(b.obs_valid, False),
+    )
+    return sharded, lm_ids
+
+
+def make_bucketed_ba_step(
+    mesh: Mesh, cam: Camera, axis: str = "ba", mu: float = 1e-4,
+    robust_delta: float | None = None,
+):
+    """Jitted distributed damped-GN step on the bucketed engine."""
+
+    def device_fn(pose_R, pose_t, pose_fixed, points, point_valid,
+                  obs_cam, obs_uvr, obs_is2, obs_valid):
+        (points, point_valid, obs_cam, obs_uvr, obs_is2, obs_valid) = (
+            x[0] for x in (points, point_valid, obs_cam, obs_uvr, obs_is2, obs_valid)
+        )
+        local = schur_bucketed.BucketedBAProblem(
+            pose_R=pose_R, pose_t=pose_t, pose_fixed=pose_fixed,
+            pose_valid=jnp.ones(pose_R.shape[0], bool),
+            points=points, point_valid=point_valid,
+            obs_cam=obs_cam, obs_uvr=obs_uvr,
+            obs_inv_sigma2=obs_is2, obs_valid=obs_valid,
+        )
+        pieces = schur_bucketed.build_local_pieces(
+            local, cam, obs_valid, robust_delta, mu
+        )
+        # ONE fused psum of the reduced system over ICI.
+        S, bp, rhs_corr, chi2 = jax.lax.psum(
+            (pieces.S_half, pieces.bp, pieces.rhs_corr, pieces.chi2), axis
+        )
+        rhs = -(bp.reshape(-1) - rhs_corr)
+        dxp = schur_bucketed.solve_pose_system(S, rhs, pose_fixed)
+        dxp = jnp.where(pose_fixed[:, None], 0.0, dxp)
+        dxl = schur_bucketed.back_substitute(pieces, local, dxp)
+
+        new_pose = se3.retract(se3.SE3(pose_R, pose_t), dxp)
+        free = (~pose_fixed)[:, None]
+        pose_R_new = jnp.where(free[..., None], new_pose.R, pose_R)
+        pose_t_new = jnp.where(free, new_pose.t, pose_t)
+        return pose_R_new, pose_t_new, (points + dxl)[None], chi2
+
+    spec_rep = P()
+    spec_shard = P(axis)
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep,
+                  spec_shard, spec_shard, spec_shard,
+                  spec_shard, spec_shard, spec_shard),
+        out_specs=(spec_rep, spec_rep, spec_shard, spec_rep),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(sp: ShardedBucketedBA):
+        pose_R, pose_t, points, chi2 = fn(
+            sp.pose_R, sp.pose_t, sp.pose_fixed,
+            sp.points, sp.point_valid,
+            sp.obs_cam, sp.obs_uvr, sp.obs_inv_sigma2, sp.obs_valid,
+        )
+        return sp._replace(pose_R=pose_R, pose_t=pose_t, points=points), chi2
+
+    return step
+
+
+def distributed_ba_bucketed(
+    b: schur_bucketed.BucketedBAProblem,
+    cam: Camera,
+    mesh: Mesh,
+    num_iters: int = 10,
+    mu: float = 1e-4,
+    robust_delta: float | None = None,
+) -> Tuple[schur_bucketed.BucketedBAProblem, jnp.ndarray]:
+    """Partition, iterate, gather back (bucketed fast path)."""
+    n_shards = mesh.devices.size
+    sharded, lm_ids = partition_bucketed(b, n_shards)
+    step = make_bucketed_ba_step(
+        mesh, cam, axis=mesh.axis_names[0], mu=mu, robust_delta=robust_delta
+    )
+    chi2 = None
+    for _ in range(num_iters):
+        sharded, chi2 = step(sharded)
+
+    pts = np.asarray(b.points).copy()
+    shard_pts = np.asarray(sharded.points)
+    for d in range(n_shards):
+        ids = lm_ids[d]
+        sel = ids >= 0
+        pts[ids[sel]] = shard_pts[d, sel]
+    out = b._replace(
+        pose_R=sharded.pose_R, pose_t=sharded.pose_t, points=jnp.asarray(pts)
+    )
+    return out, chi2
 
 
 def distributed_ba(

@@ -78,3 +78,36 @@ class TestDistributedBA:
 
         err = se3.local_delta(out.poses(), poses_true)
         assert float(jnp.max(jnp.linalg.norm(err[:, :3], axis=-1))) < 0.05
+
+
+class TestBucketedDistributedBA:
+    def test_matches_single_device_step(self, mesh):
+        """One bucketed distributed GN step == single-device bucketed step."""
+        from sqrtlm_slam_tpu.optim import schur_bucketed as sb
+
+        problem, _, _ = make_ba_scene(KEY, P=4, L=24, noise=0.4)
+        b = sb.from_flat(problem, K=4)
+        mu = 1e-3
+        dxp, dxl, _, _, _ = sb.reduce_and_solve(b, CAM, b.obs_valid, None, mu)
+        dxp = jnp.where(b.pose_fixed[:, None], 0.0, dxp)
+        ref = sb._apply_update(b, dxp, dxl)
+
+        out, _ = dist_ba.distributed_ba_bucketed(b, CAM, mesh, num_iters=1, mu=mu)
+        np.testing.assert_allclose(
+            np.asarray(out.pose_t), np.asarray(ref.pose_t), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.points), np.asarray(ref.points), atol=5e-3
+        )
+
+    def test_converges_on_scene(self, mesh):
+        from sqrtlm_slam_tpu.geometry import se3
+        from sqrtlm_slam_tpu.optim import schur_bucketed as sb
+
+        problem, poses_true, _ = make_ba_scene(KEY, P=6, L=64, noise=0.3)
+        b = sb.from_flat(problem, K=6)
+        chi0 = float(sb.chi2_only(b, CAM, b.obs_valid, None))
+        out, chi2 = dist_ba.distributed_ba_bucketed(b, CAM, mesh, num_iters=8)
+        assert float(chi2) < chi0 * 0.1
+        err = se3.local_delta(out.poses(), poses_true)
+        assert float(jnp.max(jnp.linalg.norm(err[:, :3], axis=-1))) < 0.05
