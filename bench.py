@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, make_ba_problem
-from sqrtlm_slam_tpu.optim import schur
+from sqrtlm_slam_tpu.optim import schur, schur_bucketed
 
 BASELINE_ITERS_S = 50.0
 
@@ -34,19 +34,22 @@ ITERS_PER_CALL = 15
 
 
 def main():
-    problem, _ = make_ba_problem(
+    flat, _ = make_ba_problem(
         seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=OBS_PER_LM
     )
+    # Landmark-bucketed engine (optim/schur_bucketed.py): same LM protocol,
+    # scatter-free assembly — measured ~4x the flat engine on-chip.
+    problem = schur_bucketed.from_flat(flat, OBS_PER_LM)
 
     @jax.jit
     def ba_step(prob):
-        out, chi2, acc = schur.ba_iterate(
+        out, chi2, acc = schur_bucketed.ba_iterate(
             prob, DEFAULT_CAM, prob.obs_valid, ITERS_PER_CALL, robust_delta=2.447
         )
         return out, chi2
 
     chi2_0 = float(
-        schur.build_normal_equations(problem, DEFAULT_CAM, problem.obs_valid, None)[-1]
+        jax.jit(lambda p: schur_bucketed.chi2_only(p, DEFAULT_CAM, p.obs_valid, None))(problem)
     )
 
     # Warm-up (compile). float() forces a host round-trip — on the remote

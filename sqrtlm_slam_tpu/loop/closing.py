@@ -29,7 +29,7 @@ from ..factors.reprojection import Camera
 from ..frontend import matching, vocab
 from ..geometry import se3, sim3
 from ..mapstore import MapStore
-from ..optim import schur
+from ..optim import schur, schur_bucketed
 from . import essential_graph, sim3_solver
 from .database import KeyFrameDatabase
 
@@ -379,12 +379,12 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def run_global_ba(self):
-        """Full-map BA via the matrix-free PCG Schur engine."""
-        problem, meta = gather_global_problem(self.store)
-        out, survivors, _ = schur.global_ba_cg(
+        """Full-map BA via the matrix-free PCG Schur engine (bucketed)."""
+        problem, meta = gather_global_problem_bucketed(self.store)
+        out, survivors, _ = schur_bucketed.global_ba_cg(
             problem, self.cam, num_iters=self.cfg.gba_iters
         )
-        write_back_global(self.store, out, survivors, meta)
+        write_back_global_bucketed(self.store, out, survivors, meta)
 
 
 # ----------------------------------------------------------------------
@@ -435,6 +435,64 @@ def gather_global_problem(store: MapStore):
     )
     meta = (kf_ids, lm_ids, kfs, li, kps)
     return problem, meta
+
+
+def gather_global_problem_bucketed(store: MapStore):
+    """All valid KFs + landmarks -> BucketedBAProblem.
+
+    The map store's per-landmark observation table (lm_obs_kf/idx, (L, O)) IS
+    the bucketed layout, so the gather is a handful of vectorized numpy
+    slices — no per-edge Python loop."""
+    K = store.num_kf
+    Lc = store.num_lm
+    kf_ids = np.where(store.kf_valid[:K])[0]
+    lm_ids = np.where(store.lm_valid[:Lc] & (store.lm_n_obs[:Lc] > 0))[0]
+    kf_slot = np.full(max(K, 1), -1, np.int32)
+    kf_slot[kf_ids] = np.arange(len(kf_ids), dtype=np.int32)
+
+    P = max(len(kf_ids), 1)
+    L = max(len(lm_ids), 1)
+    O = store.obs_per_landmark
+
+    obs_kf = store.lm_obs_kf[lm_ids] if len(lm_ids) else np.full((1, O), -1, np.int32)
+    obs_idx = store.lm_obs_idx[lm_ids] if len(lm_ids) else np.full((1, O), -1, np.int32)
+    okf = np.clip(obs_kf, 0, K - 1 if K else 0)
+    oidx = np.clip(obs_idx, 0, store.kf_uvr.shape[1] - 1)
+    valid = (obs_kf >= 0) & (kf_slot[okf] >= 0)
+    obs_cam = np.where(valid, kf_slot[okf], 0).astype(np.int32)
+    uvr = np.where(valid[..., None], store.kf_uvr[okf, oidx], -1.0).astype(np.float32)
+    octv = store.kf_octave[okf, oidx]
+    is2 = (1.0 / 1.2 ** (2 * octv)).astype(np.float32)
+
+    problem = schur_bucketed.BucketedBAProblem(
+        pose_R=jnp.asarray(store.kf_R[kf_ids]) if len(kf_ids) else jnp.eye(3)[None],
+        pose_t=jnp.asarray(store.kf_t[kf_ids]) if len(kf_ids) else jnp.zeros((1, 3)),
+        pose_fixed=jnp.asarray(np.arange(P) == 0),  # gauge: first KF
+        pose_valid=jnp.ones(P, bool),
+        points=jnp.asarray(store.lm_pos[lm_ids]) if len(lm_ids) else jnp.zeros((1, 3)),
+        point_valid=jnp.ones(L, bool) if len(lm_ids) else jnp.zeros(1, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uvr=jnp.asarray(uvr),
+        obs_inv_sigma2=jnp.asarray(is2),
+        obs_valid=jnp.asarray(valid),
+    )
+    meta = (kf_ids, lm_ids, obs_kf, obs_idx)
+    return problem, meta
+
+
+def write_back_global_bucketed(store: MapStore, out, survivors, meta):
+    kf_ids, lm_ids, e_kf, e_kp = meta
+    new_R = np.asarray(out.pose_R)
+    new_t = np.asarray(out.pose_t)
+    fixed = np.asarray(out.pose_fixed)
+    for i, k in enumerate(kf_ids):
+        if not fixed[i]:
+            store.set_kf_pose(int(k), new_R[i], new_t[i])
+    if len(lm_ids):
+        store.lm_pos[lm_ids] = np.asarray(out.points[: len(lm_ids)])
+    dropped = np.asarray(out.obs_valid) & ~np.asarray(survivors)
+    for li, j in zip(*np.nonzero(dropped[: len(lm_ids)])):
+        store.erase_observation(int(lm_ids[li]), int(e_kf[li, j]))
 
 
 def write_back_global(store: MapStore, out: schur.BAProblem, survivors, meta):

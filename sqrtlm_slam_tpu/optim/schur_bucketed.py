@@ -36,10 +36,6 @@ from ..factors import reprojection as reproj
 from ..geometry import se3
 from . import loss as losses
 
-# How to build the dense cross factor Y: "onehot" (batched MXU matmul) or
-# "scatter" (segment-sum into L*P block slots). Benchmarked on-chip; onehot
-# avoids TPU scatter serialization.
-Y_BUILD = "onehot"
 
 
 class BucketedBAProblem(NamedTuple):
@@ -211,21 +207,15 @@ def edge_chi2_and_depth(problem: BucketedBAProblem, cam: reproj.Camera):
 
 
 def _build_Y(V, obs_cam, P):
-    """Scatter per-slot 6x3 blocks V (L, K, 6, 3) by camera -> (P*6, L*3)."""
-    L, K = V.shape[:2]
-    V18 = V.reshape(L, K, 18)
-    if Y_BUILD == "onehot":
-        O = jax.nn.one_hot(obs_cam, P, dtype=V.dtype)  # (L, K, P)
-        Y = jnp.einsum("lkp,lkd->pld", O, V18)  # batched MXU matmuls
-    else:
-        idx = (
-            jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, K)) * P
-            + obs_cam
-        ).reshape(-1)
-        Y = jax.ops.segment_sum(V18.reshape(L * K, 18), idx, num_segments=L * P)
-        Y = Y.reshape(L, P, 18).transpose(1, 0, 2)
-    # (P, L, 18) -> (P, 6, L, 3) -> (P*6, L*3)
-    return Y.reshape(P, L, 6, 3).transpose(0, 2, 1, 3).reshape(P * 6, L * 3)
+    """Scatter per-slot 6x3 blocks V (L, K, 6, 3) by camera -> (P, L, 6, 3).
+
+    Implemented as batched one-hot matmuls (MXU) rather than a TPU scatter.
+    Measured (benchmarks/breakdown2/4): the one-hot einsum is ~free; what
+    matters is NOT reshaping to an explicit (P*6, L*3) matrix — letting XLA
+    pick the contraction layout for S saves ~40% of the step.
+    """
+    O = jax.nn.one_hot(obs_cam, P, dtype=V.dtype)  # (L, K, P)
+    return jnp.einsum("lkp,lkim->plim", O, V)  # (P, L, 6, 3)
 
 
 class LocalPieces(NamedTuple):
@@ -289,21 +279,25 @@ def build_local_pieces(
 
     # Whitened cross blocks V = U Lc^{-T}: V[i,j] = sum_m U[i,m] Minv[j,m].
     V = jnp.einsum("lkim,ljm->lkij", U, Minv)
-    Y = _build_Y(V, problem.obs_cam, P)  # (P*6, L*3)
+    Y = _build_Y(V, problem.obs_cam, P)  # (P, L, 6, 3)
 
     # Damping of Hpp is linear in Hpp's diagonal, so damping per-shard and
     # psum-ing matches damping the psum (the 1e-8 absolute epsilon is scaled
     # by shard count there — harmless).
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
-    S_half = -jnp.dot(Y, Y.T, precision=jax.lax.Precision.HIGHEST)
+    S_half = -jnp.einsum(
+        "alim,bljm->aibj", Y, Y, precision=jax.lax.Precision.HIGHEST
+    ).reshape(P * 6, P * 6)
     # Add the block-diagonal Hpp_d without a scatter (einsum with eye fuses).
     S_half = S_half + jnp.einsum(
         "pij,pq->piqj", Hpp_d, jnp.eye(P, dtype=dtype)
     ).reshape(P * 6, P * 6)
 
     z = jnp.einsum("lij,lj->li", Minv, bl)  # Lc^{-1} bl, (L, 3)
-    rhs_corr = jnp.dot(Y, z.reshape(-1))
+    rhs_corr = jnp.einsum(
+        "alim,lm->ai", Y, z, precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1)
     return LocalPieces(
         S_half=S_half, bp=bp, rhs_corr=rhs_corr, chi2=chi2, U=U, Minv=Minv, bl=bl
     )
@@ -391,6 +385,195 @@ def ba_iterate(
     )
     (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
     return problem, chi2, n_acc
+
+
+# ----------------------------------------------------------------------
+# Matrix-free Schur + PCG — the whole-map scale path (bucketed).
+#
+# For global BA (10^3 KFs x 10^5 landmarks) the dense (P,L,6,3) cross factor
+# doesn't fit; S is applied matrix-free. In bucketed layout the matvec is:
+# per-landmark K-axis reductions (no scatter) + ONE one-hot matmul for the
+# pose-side accumulation. Replaces g2o's sparse CHOLMOD factorization in
+# `GlobalBundleAdjustemnt` (g2oOptimizer.cc:80-385).
+# ----------------------------------------------------------------------
+
+
+def _cg_context(problem: BucketedBAProblem, cam, active, robust_delta, mu):
+    """Precompute per-iteration quantities for the matrix-free solve."""
+    P, L = problem.num_poses, problem.num_points
+    K = problem.obs_cam.shape[1]
+    r, Jp, Jl, w, chi2, _ = _edge_terms(problem, cam, active, robust_delta)
+    dtype = r.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    free_pose = (~problem.pose_fixed)[problem.obs_cam]
+    Jp = Jp * free_pose[..., None, None].astype(dtype)
+
+    Hll = jnp.einsum("lkri,lk,lkrj->lij", Jl, w, Jl)
+    bl = jnp.einsum("lkri,lk,lkr->li", Jl, w, r)
+    U = jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jl)
+    O = jax.nn.one_hot(problem.obs_cam, P, dtype=dtype)  # (L, K, P)
+    Hpp = jnp.einsum(
+        "ep,ed->pd",
+        O.reshape(L * K, P),
+        jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp).reshape(L * K, 36),
+    ).reshape(P, 6, 6)
+    bp = jnp.einsum(
+        "ep,ei->pi",
+        O.reshape(L * K, P),
+        jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6),
+    )
+
+    dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+    Hll_d = Hll + mu * dll[..., None] * eye3 + 1e-8 * eye3
+    Hll_d = jnp.where(problem.point_valid[:, None, None], Hll_d, eye3)
+    Minv = trinv_lower3x3(chol3x3(Hll_d))  # Lc^{-1}
+    dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
+    return r, U, Minv, O, Hpp_d, bp, bl, chi2
+
+
+def _apply_Ainv(Minv, x):
+    """Hll_d^{-1} x = Minv^T (Minv x), batched (L, 3)."""
+    return jnp.einsum("lji,ljk,lk->li", Minv, Minv, x)
+
+
+def _schur_matvec(v, U, Minv, O, Hpp_d, obs_cam, pose_fixed):
+    """S @ v for v (P, 6), matrix-free: two K-reductions + one one-hot matmul."""
+    P = Hpp_d.shape[0]
+    L, K = U.shape[:2]
+    v = jnp.where(pose_fixed[:, None], 0.0, v)
+    Wt_v = jnp.einsum("lkij,lki->lj", U, v[obs_cam])  # (L, 3)
+    y = _apply_Ainv(Minv, Wt_v)  # (L, 3)
+    Uy = jnp.einsum("lkij,lj->lki", U, y)  # (L, K, 6)
+    Wy = jnp.einsum("ep,ei->pi", O.reshape(L * K, P), Uy.reshape(L * K, 6))
+    Sv = jnp.einsum("pij,pj->pi", Hpp_d, v) - Wy
+    return jnp.where(pose_fixed[:, None], v, Sv)
+
+
+def _pcg(matvec, b, Minv_blocks, pose_fixed, max_iters: int, tol: float):
+    """Block-Jacobi preconditioned CG on the reduced camera system."""
+    b = jnp.where(pose_fixed[:, None], 0.0, b)
+    precond = lambda r: jnp.einsum("pij,pj->pi", Minv_blocks, r)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-20)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < max_iters) & (jnp.sum(r * r) > tol * tol * b2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        return (x, r, z + beta * p, rz_new, k + 1)
+
+    x, _, _, _, n = jax.lax.while_loop(cond, body, (x0, r0, z0, rz0, 0))
+    return x, n
+
+
+def cg_reduce_and_solve(
+    problem: BucketedBAProblem, cam, active, robust_delta, mu,
+    cg_iters: int = 100, cg_tol: float = 1e-6,
+):
+    """One damped-GN step via matrix-free Schur + PCG (bucketed).
+
+    Returns (dxp (P,6), dxl (L,3), chi2, bp, bl, cg_n)."""
+    P, L = problem.num_poses, problem.num_points
+    r, U, Minv, O, Hpp_d, bp, bl, chi2 = _cg_context(
+        problem, cam, active, robust_delta, mu
+    )
+    K = U.shape[1]
+    dtype = bp.dtype
+
+    # rhs = -(bp - W Hll_d^{-1} bl), edge-wise.
+    y = _apply_Ainv(Minv, bl)
+    Uy = jnp.einsum("lkij,lj->lki", U, y)
+    Wy = jnp.einsum("ep,ei->pi", O.reshape(L * K, P), Uy.reshape(L * K, 6))
+    rhs = -(bp - Wy)
+
+    matvec = lambda v: _schur_matvec(
+        v, U, Minv, O, Hpp_d, problem.obs_cam, problem.pose_fixed
+    )
+    eye6 = jnp.eye(6, dtype=dtype)
+    diag_ok = problem.pose_valid & ~problem.pose_fixed
+    M = jnp.where(diag_ok[:, None, None], Hpp_d, eye6)
+    Mp = jax.numpy.linalg.inv(M + 1e-8 * eye6)
+
+    dxp, cg_n = _pcg(matvec, rhs, Mp, problem.pose_fixed, cg_iters, cg_tol)
+    dxp = jnp.where(problem.pose_fixed[:, None], 0.0, dxp)
+
+    Wt_dxp = jnp.einsum("lkij,lki->lj", U, dxp[problem.obs_cam])
+    dxl = _apply_Ainv(Minv, -bl - Wt_dxp)
+    dxl = jnp.where(problem.point_valid[:, None], dxl, 0.0)
+    return dxp, dxl, chi2, bp, bl, cg_n
+
+
+def ba_iterate_cg(
+    problem: BucketedBAProblem,
+    cam: reproj.Camera,
+    active,
+    num_iters: int,
+    robust_delta: Optional[float],
+    cg_iters: int = 100,
+) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
+    """LM loop using the matrix-free PCG step (whole-map scale)."""
+    chi20 = chi2_only(problem, cam, active, robust_delta)
+    mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
+
+    def body(carry, _):
+        prob, chi2, mu, nu, n_acc = carry
+        dxp, dxl, _, bp, bl, _ = cg_reduce_and_solve(
+            prob, cam, active, robust_delta, mu, cg_iters=cg_iters
+        )
+        candidate = _apply_update(prob, dxp, dxl)
+        chi2_c = chi2_only(candidate, cam, active, robust_delta)
+        dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
+        b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
+        predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
+        rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
+        accept = (rho > 0) & jnp.isfinite(chi2_c)
+        prob_new = prob._replace(
+            pose_R=jnp.where(accept, candidate.pose_R, prob.pose_R),
+            pose_t=jnp.where(accept, candidate.pose_t, prob.pose_t),
+            points=jnp.where(accept, candidate.points, prob.points),
+        )
+        chi2_new = jnp.where(accept, chi2_c, chi2)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        mu_new = jnp.where(accept, mu * factor, mu * nu)
+        nu_new = jnp.where(accept, 2.0, nu * 2.0)
+        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+
+    init = (problem, chi20, mu0, jnp.asarray(2.0, chi20.dtype), jnp.asarray(0, jnp.int32))
+    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return problem, chi2, n_acc
+
+
+def global_ba_cg(
+    problem: BucketedBAProblem, cam: reproj.Camera, num_iters: int = 20
+):
+    """Whole-map global BA on the matrix-free bucketed engine.
+
+    Returns (problem, survivors (L,K), chi2) — the 20-robust-iteration
+    protocol of `GlobalBundleAdjustemnt` (g2oOptimizer.cc:80-385)."""
+    delta2 = math.sqrt(losses.CHI2_2DOF)
+    run = jax.jit(
+        lambda p: ba_iterate_cg(p, cam, p.obs_valid, num_iters, robust_delta=delta2)
+    )
+    problem, chi2, _ = run(problem)
+    is_stereo = problem.obs_uvr[..., 2] >= 0.0
+    gate = jnp.where(is_stereo, losses.CHI2_3DOF, losses.CHI2_2DOF)
+    e2, z = edge_chi2_and_depth(problem, cam)
+    survivors = problem.obs_valid & (e2 <= gate) & (z > 0)
+    return problem, survivors, chi2
 
 
 def local_ba(

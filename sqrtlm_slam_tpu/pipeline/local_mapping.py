@@ -31,7 +31,7 @@ from ..factors.reprojection import Camera
 from ..frontend import matching
 from ..geometry import se3
 from ..mapstore import MapStore
-from ..optim import schur
+from ..optim import schur_bucketed
 from . import triangulation
 
 
@@ -69,7 +69,7 @@ def _project_and_match(
 class LocalMappingConfig(NamedTuple):
     pose_cap: int = 32  # P: local + frontier keyframes
     point_cap: int = 4096  # L
-    edge_cap: int = 16384  # E
+    obs_cap: int = 8  # K: per-landmark observation slots (bucketed layout)
     local_kf_cap: int = 16  # covisible window size
     min_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:270)
     min_obs_after: int = 2  # required observers once mature
@@ -85,7 +85,7 @@ class LocalMapper:
         self.store = store
         self.cam = cam
         self.cfg = cfg
-        self._ba_jit = jax.jit(lambda p: schur.local_ba(p, cam))
+        self._ba_jit = jax.jit(lambda p: schur_bucketed.local_ba(p, cam))
         self.recent_landmarks: list = []  # (lm_id, created_at_kf)
 
     # ------------------------------------------------------------------
@@ -266,12 +266,13 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def gather_problem(self, center_kf: int):
-        """Build a fixed-capacity BAProblem around `center_kf`.
+        """Build a fixed-capacity landmark-bucketed BA problem around
+        `center_kf` (optim/schur_bucketed.py — the scatter-free engine; the
+        map store is already landmark-bucketed so the gather is direct).
 
         Local KFs = center + best covisible; fixed frontier = other observers
         of the local landmarks (g2oOptimizer.cc:708-760). Returns
-        (problem, kf_ids (P,), lm_ids (L,), edge_kf (E,), edge_lm_slot (E,),
-        edge_kp (E,)) for write-back."""
+        (problem, (kf_ids, lm_ids, e_kf (L,K), e_kp (L,K))) for write-back."""
         store, cfg = self.store, self.cfg
         local = [center_kf] + [
             int(x) for x in store.best_covisible(center_kf, cfg.local_kf_cap - 1)
@@ -291,30 +292,34 @@ class LocalMapper:
         kf_slot = {int(k): i for i, k in enumerate(kf_ids)}
         n_local_in = len([k for k in local if k in kf_slot])
 
-        # Edges.
-        e_cam, e_pt, e_uvr, e_is2, e_kf, e_kp = [], [], [], [], [], []
+        P, L, K = cfg.pose_cap, cfg.point_cap, cfg.obs_cap
+        nk = len(kf_ids)
+        nl = len(lm_ids)
+
+        # Bucketed observation slots, landmark-major.
+        obs_cam = np.zeros((L, K), np.int32)
+        obs_uvr = np.full((L, K, 3), -1.0, np.float32)
+        obs_is2 = np.ones((L, K), np.float32)
+        obs_valid = np.zeros((L, K), bool)
+        e_kf = np.full((L, K), -1, np.int32)
+        e_kp = np.full((L, K), -1, np.int32)
         for li, lm in enumerate(lm_ids):
+            j = 0
             for s in range(store.obs_per_landmark):
                 kf = int(store.lm_obs_kf[lm, s])
                 if kf < 0 or kf not in kf_slot:
                     continue
-                kp = int(store.lm_obs_idx[lm, s])
-                e_cam.append(kf_slot[kf])
-                e_pt.append(li)
-                e_uvr.append(store.kf_uvr[kf, kp])
-                oct_ = int(store.kf_octave[kf, kp])
-                e_is2.append(1.0 / (1.2 ** (2 * oct_)))
-                e_kf.append(kf)
-                e_kp.append(kp)
-                if len(e_cam) >= cfg.edge_cap:
+                if j >= K:
                     break
-            if len(e_cam) >= cfg.edge_cap:
-                break
-
-        P, L, E = cfg.pose_cap, cfg.point_cap, cfg.edge_cap
-        ne = len(e_cam)
-        nk = len(kf_ids)
-        nl = len(lm_ids)
+                kp = int(store.lm_obs_idx[lm, s])
+                obs_cam[li, j] = kf_slot[kf]
+                obs_uvr[li, j] = store.kf_uvr[kf, kp]
+                oct_ = int(store.kf_octave[kf, kp])
+                obs_is2[li, j] = 1.0 / (1.2 ** (2 * oct_))
+                obs_valid[li, j] = True
+                e_kf[li, j] = kf
+                e_kp[li, j] = kp
+                j += 1
 
         pose_R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         pose_t = np.zeros((P, 3), np.float32)
@@ -332,18 +337,7 @@ class LocalMapper:
         point_valid = np.zeros(L, bool)
         point_valid[:nl] = True
 
-        obs_cam = np.zeros(E, np.int32)
-        obs_pt = np.zeros(E, np.int32)
-        obs_uvr = np.full((E, 3), -1.0, np.float32)
-        obs_is2 = np.ones(E, np.float32)
-        obs_valid = np.zeros(E, bool)
-        obs_cam[:ne] = e_cam
-        obs_pt[:ne] = e_pt
-        obs_uvr[:ne] = e_uvr
-        obs_is2[:ne] = e_is2
-        obs_valid[:ne] = True
-
-        problem = schur.BAProblem(
+        problem = schur_bucketed.BucketedBAProblem(
             pose_R=jnp.asarray(pose_R),
             pose_t=jnp.asarray(pose_t),
             pose_fixed=jnp.asarray(pose_fixed),
@@ -351,12 +345,11 @@ class LocalMapper:
             points=jnp.asarray(points),
             point_valid=jnp.asarray(point_valid),
             obs_cam=jnp.asarray(obs_cam),
-            obs_pt=jnp.asarray(obs_pt),
             obs_uvr=jnp.asarray(obs_uvr),
             obs_inv_sigma2=jnp.asarray(obs_is2),
             obs_valid=jnp.asarray(obs_valid),
         )
-        meta = (kf_ids, lm_ids, np.asarray(e_kf[:ne]), np.asarray(e_pt[:ne]), np.asarray(e_kp[:ne]))
+        meta = (kf_ids, lm_ids, e_kf, e_kp)
         return problem, meta
 
     def local_ba(self, center_kf: int):
@@ -367,7 +360,7 @@ class LocalMapper:
         poses rebuild the lidar local maps, the center KF's features are
         re-associated, and its pose is refined with fused visual + lidar
         residuals."""
-        problem, (kf_ids, lm_ids, e_kf, e_pt_slot, e_kp) = self.gather_problem(center_kf)
+        problem, (kf_ids, lm_ids, e_kf, e_kp) = self.gather_problem(center_kf)
         result, survivors, stats = self._ba_jit(problem)
 
         store = self.store
@@ -381,9 +374,9 @@ class LocalMapper:
         store.lm_pos[lm_ids] = np.asarray(result.points[:nl])
 
         # Erase observations gated out by chi2/depth (g2oOptimizer.cc:1119-1189).
-        surv = np.asarray(survivors[: len(e_kf)])
-        for j in np.where(~surv)[0]:
-            store.erase_observation(int(lm_ids[e_pt_slot[j]]), int(e_kf[j]))
+        dropped = np.asarray(problem.obs_valid) & ~np.asarray(survivors)
+        for li, j in zip(*np.nonzero(dropped)):
+            store.erase_observation(int(lm_ids[li]), int(e_kf[li, j]))
 
         if store.kf_corner_valid[center_kf].any():
             self._lidar_stage(center_kf)

@@ -41,9 +41,7 @@ def test_chi2_matches_flat(problems):
     assert c_flat == pytest.approx(c_b, rel=1e-5)
 
 
-@pytest.mark.parametrize("y_build", ["onehot", "scatter"])
-def test_step_matches_flat(problems, y_build, monkeypatch):
-    monkeypatch.setattr(sb, "Y_BUILD", y_build)
+def test_step_matches_flat(problems):
     flat, bucketed = problems
     mu = jnp.float32(1e-3)
     delta = math.sqrt(losses.CHI2_2DOF)
@@ -86,3 +84,26 @@ def test_local_ba_protocol(problems):
     n_surv = int(jnp.sum(survivors))
     assert n_surv > 0.8 * n_valid
     assert float(chi2) >= 0.0 and np.isfinite(float(chi2))
+
+
+def test_cg_matches_dense_step(problems):
+    """Matrix-free PCG step == dense-S step (same damping)."""
+    _, bucketed = problems
+    mu = jnp.float32(1e-3)
+    dxp_d, dxl_d, _, _, _ = sb.reduce_and_solve(
+        bucketed, DEFAULT_CAM, bucketed.obs_valid, None, mu
+    )
+    dxp_c, dxl_c, _, _, _, n = sb.cg_reduce_and_solve(
+        bucketed, DEFAULT_CAM, bucketed.obs_valid, None, mu, cg_iters=300, cg_tol=1e-9
+    )
+    assert int(n) > 0
+    np.testing.assert_allclose(np.asarray(dxp_c), np.asarray(dxp_d), rtol=2e-2, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dxl_c), np.asarray(dxl_d), rtol=2e-2, atol=2e-3)
+
+
+def test_global_ba_cg_converges(problems):
+    _, bucketed = problems
+    c0 = float(sb.chi2_only(bucketed, DEFAULT_CAM, bucketed.obs_valid, 2.447))
+    out, survivors, chi2 = sb.global_ba_cg(bucketed, DEFAULT_CAM, num_iters=10)
+    assert float(chi2) < 0.1 * c0
+    assert int(jnp.sum(survivors)) > 0.8 * int(jnp.sum(bucketed.obs_valid))
