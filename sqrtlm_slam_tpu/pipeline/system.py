@@ -194,6 +194,46 @@ class SlamSystem:
         self.tracker.new_kf_callback = self._on_new_keyframe
         self.local_mapper.__init__(self.store, self.cam, self.cfg.local_mapping)
 
+    def get_slam_result(self) -> dict:
+        """Visualization snapshot mirroring the reference's `SLAMresult`
+        struct (System.h:44-87 / System::getSLAMresult, System.cc:33-52):
+        keyframe poses, tracking state, the landmarks seen last frame, the
+        global map cloud, the local-map cloud around the reference KF, and
+        the current KF's LiDAR feature clouds. Pure numpy — safe to hand to
+        a separate plotting/rviz-style consumer."""
+        store, tracker = self.store, self.tracker
+        kfs = np.where(store.kf_valid[: store.num_kf])[0]
+        lms = np.where(store.lm_valid[: store.num_lm])[0]
+        local_lms = np.empty(0, np.int64)
+        if tracker.ref_kf >= 0:
+            window = [tracker.ref_kf] + [
+                int(x) for x in store.best_covisible(tracker.ref_kf, 10)
+            ]
+            ids = np.unique(store.kf_obs_lm[window])
+            ids = ids[ids >= 0]
+            local_lms = ids[store.lm_valid[ids]]
+        result = {
+            "state": tracker.state,
+            "ref_kf": tracker.ref_kf,
+            "num_inliers": tracker.last_inliers,
+            "kf_ids": kfs,
+            "kf_R": store.kf_R[kfs].copy(),
+            "kf_t": store.kf_t[kfs].copy(),
+            "map_points": store.lm_pos[lms].copy(),
+            "local_map_points": store.lm_pos[local_lms].copy(),
+            "tracked_landmarks": (
+                np.asarray([lm for lm, _ in tracker.last_lm_ids])
+                if tracker.last_lm_ids is not None
+                else np.empty(0, np.int64)
+            ),
+            "trajectory": self.get_trajectory(),
+        }
+        if tracker.ref_kf >= 0 and store.kf_corner_valid[tracker.ref_kf].any():
+            k = tracker.ref_kf
+            result["lidar_corner"] = store.kf_corner[k][store.kf_corner_valid[k]]
+            result["lidar_flat"] = store.kf_flat[k][store.kf_flat_valid[k]]
+        return result
+
     # ------------------------------------------------------------------
     # Trajectory recovery + savers
     # ------------------------------------------------------------------

@@ -189,6 +189,54 @@ def match_and_optimize_fused(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "r_motion", "r_local", "min_inliers", "match_dist"),
+)
+def track_frame_stages(
+    guess: se3.SE3,
+    lm: LocalMapBuffer,
+    frame: Frame,
+    cam: Camera,
+    r_motion: float,
+    r_local: float,
+    min_inliers: int,
+    lidar_map=None,
+    match_dist: float = 0.45,
+):
+    """Both tracking stages in ONE device dispatch.
+
+    Stage A (motion-model matching + pose LM at `r_motion`, with the
+    reference's widened-window retry as a lax.cond — Tracking.cc:1503-1584),
+    then stage B (local-map matching at `r_local`, LiDAR-tightly-coupled when
+    a lidar local map is given). Fusing the stages halves the per-frame
+    dispatch count — on a remote-attached chip each dispatch costs ~35 ms
+    RTT, which dominated tracked-frames/s.
+
+    Returns (pose, m_idx, m_valid, n_inliers, n_lidar).
+    """
+    outA = match_and_optimize(guess, lm, frame, cam, r_motion)
+
+    def widen(_):
+        return match_and_optimize(guess, lm, frame, cam, r_motion * 2)
+
+    def keep(_):
+        return outA
+
+    poseA, _, _, nA = jax.lax.cond(outA[3] < min_inliers, widen, keep, None)
+
+    if lidar_map is not None:
+        pose, m_idx, m_valid, n_inl, n_lidar = match_and_optimize_fused(
+            poseA, lm, frame, cam, r_local, lidar_map, match_dist
+        )
+    else:
+        pose, m_idx, m_valid, n_inl = match_and_optimize(
+            poseA, lm, frame, cam, r_local
+        )
+        n_lidar = jnp.asarray(0, jnp.int32)
+    return pose, m_idx, m_valid, n_inl, n_lidar, nA
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def recover_pose_no_prior(
     key: jnp.ndarray, lm: LocalMapBuffer, frame: Frame, cam: Camera
@@ -590,18 +638,23 @@ class Tracker:
                 self.frames_lost += 1
                 return None
 
-        # --- stage A: motion model vs last frame's landmarks ---
+        # --- stages A+B in ONE device dispatch (motion-model matching with
+        # widened-window retry, then local-map tracking — LiDAR-tightly-
+        # coupled when lidar features are present; the reference's two
+        # PoseOptimization calls, Tracking.cc:1503-1668) ---
         guess = se3.retract(self.pose, self.velocity)
         lm_buffer = self._gather_local_map()
-        pose, m_idx, m_valid, n_inliers = match_and_optimize(
-            guess, lm_buffer, frame, self.cam, self.cfg.match_radius_motion
+        lidar_map = self._gather_lidar_local_map() if frame.lidar is not None else None
+        pose, m_idx, m_valid, n_inliers, n_lidar, nA = track_frame_stages(
+            guess, lm_buffer, frame, self.cam,
+            self.cfg.match_radius_motion, self.cfg.match_radius_local,
+            self.cfg.min_inliers_track,
+            lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
         )
-        if int(n_inliers) < self.cfg.min_inliers_track:
-            # Widened-window fallback (reference retries with 2x radius).
-            pose, m_idx, m_valid, n_inliers = match_and_optimize(
-                guess, lm_buffer, frame, self.cam, self.cfg.match_radius_motion * 2
-            )
-        if int(n_inliers) < self.cfg.min_inliers_track:
+        if lidar_map is not None:
+            self.last_lidar_matches = int(n_lidar)
+
+        if int(nA) < self.cfg.min_inliers_track:
             # No-prior fallback: descriptor-only match + 3D-3D RANSAC seed
             # (TrackReferenceKeyFrame geometry, Tracking.cc:1317-1377).
             self._key, sub = jax.random.split(self._key)
@@ -609,26 +662,12 @@ class Tracker:
                 sub, lm_buffer, frame, self.cam
             )
             if int(n_ransac) >= self.cfg.min_inliers_track:
-                pose, m_idx, m_valid, n_inliers = match_and_optimize(
+                pose, m_idx, m_valid, n_inliers, n_lidar, _ = track_frame_stages(
                     seed_pose, lm_buffer, frame, self.cam,
-                    self.cfg.match_radius_motion,
+                    self.cfg.match_radius_motion, self.cfg.match_radius_local,
+                    self.cfg.min_inliers_track,
+                    lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
                 )
-
-        # --- stage B: track local map (tighter radius at refined pose) ---
-        # With LiDAR features present, this stage is tightly coupled:
-        # reprojection + point-to-plane/point-to-point in one optimization
-        # (the reference's second PoseOptimization with the lidar local map).
-        lidar_map = self._gather_lidar_local_map() if frame.lidar is not None else None
-        if lidar_map is not None:
-            pose, m_idx, m_valid, n_inliers, n_lidar = match_and_optimize_fused(
-                pose, lm_buffer, frame, self.cam, self.cfg.match_radius_local,
-                lidar_map, self.cfg.lidar_match_dist,
-            )
-            self.last_lidar_matches = int(n_lidar)
-        else:
-            pose, m_idx, m_valid, n_inliers = match_and_optimize(
-                pose, lm_buffer, frame, self.cam, self.cfg.match_radius_local
-            )
 
         n = int(n_inliers)
         if n < self.cfg.min_inliers_local:

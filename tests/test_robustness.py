@@ -64,3 +64,17 @@ class TestDeterminism:
         t2 = s2.get_trajectory()
         np.testing.assert_array_equal(t1, t2)
         assert s1.num_landmarks() == s2.num_landmarks()
+
+
+class TestSlamResultSnapshot:
+    def test_snapshot_fields(self):
+        """get_slam_result mirrors the reference SLAMresult (System.h:44-87)."""
+        s, _ = _run(n_frames=6)
+        res = s.get_slam_result()
+        assert res["state"] == TrackState.OK
+        assert len(res["kf_ids"]) == s.num_keyframes()
+        assert res["kf_R"].shape == (len(res["kf_ids"]), 3, 3)
+        assert res["map_points"].shape[0] == s.num_landmarks()
+        assert res["local_map_points"].shape[0] > 0
+        assert res["trajectory"].shape[1:] == (4, 4)
+        assert res["num_inliers"] > 0
