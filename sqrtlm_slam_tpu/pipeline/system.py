@@ -39,6 +39,12 @@ class SystemConfig(NamedTuple):
     max_landmarks: int = 60000
     loop_detection: bool = False  # SLAM.LoopDetection flag (fusionsystem.cc:9)
     lidar: Optional[object] = None  # lidar.features.LidarConfig for fusion
+    # Run local mapping + loop closing on a background worker thread,
+    # overlapping them with tracking — the reference's 3-pthread pipeline
+    # (System.cc:139-154, SURVEY §2.10 P1). Off by default: the sequential
+    # driver is deterministic (tests, evaluation); async mode trades that
+    # for per-frame latency. A coarse map lock replaces Map::mMutexMapUpdate.
+    async_mapping: bool = False
 
 
 class SlamSystem:
@@ -74,6 +80,53 @@ class SlamSystem:
                 cfg=loop_cfg or LoopClosingConfig(),
             )
 
+        # Async mapping worker (the reference's LocalMapping/LoopClosing
+        # threads, System.cc:139-154). The map lock is the coarse equivalent
+        # of Map::mMutexMapUpdate: the tracker holds it only for its
+        # store-touching host sections, so the per-frame device dispatches
+        # overlap with mapping/loop work.
+        self._kf_queue = None
+        self._worker = None
+        self._shutdown = False
+        if cfg.async_mapping:
+            import queue
+            import threading
+
+            self.map_lock = threading.RLock()
+            self.tracker.map_lock = self.map_lock
+            self._kf_queue = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._mapping_worker, daemon=True
+            )
+            self._worker.start()
+
+    def _mapping_worker(self):
+        while True:
+            kf = self._kf_queue.get()
+            try:
+                if kf is None:
+                    return
+                with self.map_lock:
+                    self.local_mapper.process_keyframe(kf)
+                    if self.loop_closer is not None:
+                        self.loop_closer.insert_keyframe(kf)
+            finally:
+                self._kf_queue.task_done()
+
+    def flush(self):
+        """Block until all queued keyframes are mapped (async mode no-op
+        otherwise) — call before reading trajectories/maps for evaluation."""
+        if self._kf_queue is not None:
+            self._kf_queue.join()
+
+    def shutdown(self):
+        """System::Shutdown (System.cc:346-360): drain + stop the worker."""
+        if self._kf_queue is not None and not self._shutdown:
+            self._kf_queue.join()
+            self._kf_queue.put(None)
+            self._worker.join()
+            self._shutdown = True
+
     def _assign_words(self, desc, valid):
         """Word ids + BoW vector for a new keyframe; trains a vocabulary
         lazily from the first keyframe's descriptors when none was given
@@ -95,6 +148,9 @@ class SlamSystem:
         return np.asarray(words), np.asarray(bow)
 
     def _on_new_keyframe(self, kf: int):
+        if self._kf_queue is not None:
+            self._kf_queue.put(kf)
+            return
         self.local_mapper.process_keyframe(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)

@@ -295,6 +295,10 @@ class Tracker:
         self.reloc_db = None  # KeyFrameDatabase set by the system
         self.frames_lost = 0
         self.localization_only = False  # ActivateLocalizationMode (System.cc:304)
+        # Coarse map lock (Map::mMutexMapUpdate equivalent) — a real RLock
+        # when the system runs async mapping, a no-op context otherwise.
+        import contextlib
+        self.map_lock = contextlib.nullcontext()
         self._init_ref: Optional[Frame] = None  # mono init reference frame
         self.last_lidar_matches = 0  # tight-coupling association count
 
@@ -304,13 +308,14 @@ class Tracker:
         """Local map = landmarks of ref KF + its best covisible KFs
         (UpdateLocalKeyFrames/Points, Tracking.cc:2114-2260)."""
         cap = self.cfg.local_map_capacity
-        kfs = [self.ref_kf] + list(
-            self.store.best_covisible(self.ref_kf, self.cfg.local_kf_cap)
-        )
-        lm_ids = np.unique(self.store.kf_obs_lm[kfs])
-        lm_ids = lm_ids[(lm_ids >= 0)]
-        lm_ids = lm_ids[self.store.lm_valid[lm_ids]][:cap]
-        return self._buffer_from_ids(lm_ids)
+        with self.map_lock:
+            kfs = [self.ref_kf] + list(
+                self.store.best_covisible(self.ref_kf, self.cfg.local_kf_cap)
+            )
+            lm_ids = np.unique(self.store.kf_obs_lm[kfs])
+            lm_ids = lm_ids[(lm_ids >= 0)]
+            lm_ids = lm_ids[self.store.lm_valid[lm_ids]][:cap]
+            return self._buffer_from_ids(lm_ids)
 
     def _buffer_from_ids(self, lm_ids: np.ndarray) -> LocalMapBuffer:
         cap = self.cfg.local_map_capacity
@@ -338,6 +343,10 @@ class Tracker:
         aggregate per-KF clouds of the visual local KFs, voxel-filter,
         rebuild the NN structure)."""
         store, cfg = self.store, self.cfg
+        with self.map_lock:
+            return self._gather_lidar_local_map_locked(store, cfg)
+
+    def _gather_lidar_local_map_locked(self, store, cfg):
         kfs = [self.ref_kf] + [
             int(x) for x in store.best_covisible(self.ref_kf, cfg.lidar_map_kfs)
         ]
@@ -478,6 +487,10 @@ class Tracker:
         New landmarks come from depth-carrying keypoints not already matched
         to the map, nearest-first, capped (UpdateLastFrame/CreateNewKeyFrame
         close-point creation, Tracking.cc:1385-1492, 1846-1953)."""
+        with self.map_lock:
+            return self._insert_keyframe_locked(frame)
+
+    def _insert_keyframe_locked(self, frame: Frame) -> int:
         store = self.store
         R = np.asarray(self.pose.R)
         t = np.asarray(self.pose.t)
@@ -601,8 +614,9 @@ class Tracker:
 
     def _record_trajectory(self):
         """Store T_cur_ref = T_cw · T_ref_w^{-1} (relative to ref KF)."""
-        R_ref = self.store.kf_R[self.ref_kf]
-        t_ref = self.store.kf_t[self.ref_kf]
+        with self.map_lock:
+            R_ref = self.store.kf_R[self.ref_kf].copy()
+            t_ref = self.store.kf_t[self.ref_kf].copy()
         T_ref = se3.SE3(jnp.asarray(R_ref), jnp.asarray(t_ref))
         T_rel = se3.compose(self.pose, se3.inverse(T_ref))
         self.trajectory.append((self.frame_idx, self.ref_kf, np.asarray(T_rel.R), np.asarray(T_rel.t)))

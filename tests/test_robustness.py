@@ -78,3 +78,39 @@ class TestSlamResultSnapshot:
         assert res["local_map_points"].shape[0] > 0
         assert res["trajectory"].shape[1:] == (4, 4)
         assert res["num_inliers"] > 0
+
+
+class TestAsyncMapping:
+    def test_async_tracks_and_flushes(self):
+        """async_mapping=True (the reference's LocalMapping thread, P1 in
+        SURVEY §2.10): tracking still succeeds, flush drains the queue, and
+        the final map matches the sequential run's scale."""
+        from sqrtlm_slam_tpu.eval.ate import ate_rmse
+
+        world = SyntheticWorld(seed=2, n_points=1000)
+        poses = forward_trajectory(10, step=0.35)
+        s = SlamSystem(
+            DEFAULT_CAM,
+            SystemConfig(
+                orb=orb.ORBConfig(max_features=600), async_mapping=True
+            ),
+        )
+        ok = 0
+        for T in poses:
+            img, depth = world.render(T, DEFAULT_CAM)
+            if s.track_depth(img, depth) is not None:
+                ok += 1
+        s.flush()
+        assert ok >= 8
+        assert s.num_keyframes() >= 2
+        est = s.get_trajectory()
+        gt = []
+        for T in poses[: len(est)]:
+            M = np.eye(4)
+            M[:3, :3] = np.asarray(T.R)
+            M[:3, 3] = np.asarray(T.t)
+            gt.append(np.linalg.inv(M))
+        rmse, _ = ate_rmse(est, np.stack(gt))
+        assert rmse < 0.15, rmse
+        s.shutdown()
+        assert s._shutdown

@@ -54,3 +54,21 @@ def test_plot_trajectory(tmp_path):
         comparisons={"prior": gt}, landmarks=lm,
     )
     assert os.path.getsize(out) > 1000
+
+
+def test_load_yaml_config(tmp_path):
+    """Reference-style OpenCV-YAML keys + section overrides both apply."""
+    from sqrtlm_slam_tpu.utils.config import load_yaml_config
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "ORBextractor.nFeatures: 1234\n"
+        "ORBextractor.scaleFactor: 1.25\n"
+        "ThDepth: 99\n"
+        "tracking:\n  close_depth: 33.0\n"
+    )
+    cfg = load_yaml_config(str(p))
+    assert cfg.orb.max_features == 1234
+    assert abs(cfg.orb.scale_factor - 1.25) < 1e-9
+    assert cfg.th_depth_scale == 99.0
+    assert cfg.tracking.close_depth == 33.0
