@@ -19,6 +19,8 @@ import sys
 import time
 
 import jax
+from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, make_ba_problem

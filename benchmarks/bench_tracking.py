@@ -26,6 +26,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")

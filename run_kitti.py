@@ -49,6 +49,8 @@ def main():
     import os
 
     import jax
+    from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # sitecustomize may pin another platform; the env var alone is

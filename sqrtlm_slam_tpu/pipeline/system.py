@@ -26,7 +26,7 @@ from ..factors.reprojection import Camera
 from ..frontend import orb, vocab as vocab_mod
 from ..geometry import se3
 from ..mapstore import MapStore
-from .frame import Frame, build_frame
+from .frame import Frame, build_frame_jit
 from .local_mapping import LocalMapper, LocalMappingConfig
 from .tracking import Tracker, TrackingConfig, TrackState
 
@@ -169,7 +169,7 @@ class SlamSystem:
         supplies keypoint depth AND (with cfg.lidar set) corner/flat
         features for tight coupling. `T_cam_lidar` = (R, t) extrinsics
         (KITTI `Tr`, fusionsystem.cc:51-90)."""
-        frame = build_frame(
+        frame = build_frame_jit(
             image, self.cam, self.cfg.orb, cloud_lidar=cloud_lidar,
             T_cam_lidar=T_cam_lidar, lidar_cfg=self.cfg.lidar,
         )
@@ -177,22 +177,22 @@ class SlamSystem:
 
     def track_depth(self, image: jnp.ndarray, depth_img: jnp.ndarray):
         """RGBD-style entry (depth image already in the camera frame)."""
-        frame = build_frame(image, self.cam, self.cfg.orb, depth_img=depth_img)
+        frame = build_frame_jit(image, self.cam, self.cfg.orb, depth_img=depth_img)
         return self.tracker.track(frame)
 
     def track_stereo(self, img_left: jnp.ndarray, img_right: jnp.ndarray):
         """Stereo entry (System::TrackStereo): row-constrained left-right ORB
         matching supplies the u_right/depth observations."""
-        from .frame import build_frame_stereo
+        from .frame import build_frame_stereo_jit
 
-        frame = build_frame_stereo(img_left, img_right, self.cam, self.cfg.orb)
+        frame = build_frame_stereo_jit(img_left, img_right, self.cam, self.cfg.orb)
         return self.tracker.track(frame)
 
     def track_monocular(self, image: jnp.ndarray):
         """Monocular entry (System::TrackMonocular, System.h:127): two-view
         H/F-RANSAC initialization, then mono tracking with landmarks from
         local-mapping triangulation."""
-        frame = build_frame(image, self.cam, self.cfg.orb)
+        frame = build_frame_jit(image, self.cam, self.cfg.orb)
         return self.tracker.track(frame)
 
     def track_frame(self, frame: Frame):

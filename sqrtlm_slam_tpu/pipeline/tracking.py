@@ -612,14 +612,23 @@ class Tracker:
                 return True
         return False
 
-    def _record_trajectory(self):
-        """Store T_cur_ref = T_cw · T_ref_w^{-1} (relative to ref KF)."""
+    def _record_trajectory(self, pose_R_h=None, pose_t_h=None):
+        """Store T_cur_ref = T_cw · T_ref_w^{-1} (relative to ref KF).
+
+        Pure numpy (no device round trip): callers on the hot path pass the
+        already-fetched pose; others fall back to fetching it."""
+        if pose_R_h is None:
+            pose_R_h, pose_t_h = jax.device_get((self.pose.R, self.pose.t))
+        pose_R_h = np.asarray(pose_R_h)
+        pose_t_h = np.asarray(pose_t_h)
         with self.map_lock:
             R_ref = self.store.kf_R[self.ref_kf].copy()
             t_ref = self.store.kf_t[self.ref_kf].copy()
-        T_ref = se3.SE3(jnp.asarray(R_ref), jnp.asarray(t_ref))
-        T_rel = se3.compose(self.pose, se3.inverse(T_ref))
-        self.trajectory.append((self.frame_idx, self.ref_kf, np.asarray(T_rel.R), np.asarray(T_rel.t)))
+        # T_rel = T_cw · T_ref_w^{-1}: R_rel = R_cw R_ref^T,
+        # t_rel = t_cw - R_rel t_ref.
+        R_rel = pose_R_h @ R_ref.T
+        t_rel = pose_t_h - R_rel @ t_ref
+        self.trajectory.append((self.frame_idx, self.ref_kf, R_rel, t_rel))
 
     # ------------------------------------------------------------------
 
@@ -665,6 +674,13 @@ class Tracker:
             self.cfg.min_inliers_track,
             lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
         )
+        # ONE batched host fetch for everything the state machine needs —
+        # each individual sync costs a full round trip on a remote-attached
+        # chip (~30 ms measured), so int()/np.asarray() sprinkled through the
+        # frame added up to more time than the device compute itself.
+        m_idx, m_valid, n_inliers, nA, n_lidar, pose_R_h, pose_t_h = jax.device_get(
+            (m_idx, m_valid, n_inliers, nA, n_lidar, pose.R, pose.t)
+        )
         if lidar_map is not None:
             self.last_lidar_matches = int(n_lidar)
 
@@ -681,6 +697,9 @@ class Tracker:
                     self.cfg.match_radius_motion, self.cfg.match_radius_local,
                     self.cfg.min_inliers_track,
                     lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
+                )
+                m_idx, m_valid, n_inliers, n_lidar, pose_R_h, pose_t_h = jax.device_get(
+                    (m_idx, m_valid, n_inliers, n_lidar, pose.R, pose.t)
                 )
 
         n = int(n_inliers)
@@ -704,5 +723,5 @@ class Tracker:
 
         if not self.localization_only and self._need_keyframe(n, frame):
             self._insert_keyframe(frame)
-        self._record_trajectory()
+        self._record_trajectory(pose_R_h, pose_t_h)
         return pose
