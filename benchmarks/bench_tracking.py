@@ -23,6 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--features", type=int, default=1000)
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run local mapping on the background worker "
+                         "(the reference's 3-thread pipeline) — measures "
+                         "tracking-thread latency only")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +47,11 @@ def main():
     frames = [world.render(T, DEFAULT_CAM) for T in poses]
 
     s = SlamSystem(
-        DEFAULT_CAM, SystemConfig(orb=orb.ORBConfig(max_features=args.features))
+        DEFAULT_CAM,
+        SystemConfig(
+            orb=orb.ORBConfig(max_features=args.features),
+            async_mapping=args.async_mapping,
+        ),
     )
     # Warm-up on the first few frames (compiles all stages incl. KF path).
     warm = min(5, len(frames))
@@ -60,6 +68,7 @@ def main():
             tracked += 1
         times.append(time.perf_counter() - t0)
     n = len(frames) - warm
+    s.flush()
     med = float(np.median(times))
     # Median per-frame time is robust to one-off jit compiles mid-run
     # (keyframe-path shapes compile on first use); mean includes them.
@@ -72,6 +81,7 @@ def main():
         "frames": n,
         "tracked": tracked,
         "device": jax.devices()[0].platform,
+        "async_mapping": args.async_mapping,
     }))
 
 

@@ -148,8 +148,9 @@ class LocalMapper:
                 jnp.asarray(store.kf_kp_valid[target_kf]),
                 self.cam, 3.0,
             )
-            hits = np.where(np.asarray(res.valid)[:m])[0]
-            kp_idx = np.asarray(res.idx)[:m]
+            res_valid, res_idx = jax.device_get((res.valid, res.idx))
+            hits = np.where(res_valid[:m])[0]
+            kp_idx = res_idx[:m]
             n_fused = 0
             for j in hits:
                 lm = int(lm_ids[j])
@@ -214,9 +215,10 @@ class LocalMapper:
                 angles1=jnp.asarray(store.kf_angle[kf]),
                 angles2=jnp.asarray(store.kf_angle[nb]),
             )
-            ok = np.where(np.asarray(res.valid))[0]
-            pts = np.asarray(res.points_w)
-            idx2 = np.asarray(res.idx2)
+            res_valid, pts, idx2 = jax.device_get(
+                (res.valid, res.points_w, res.idx2)
+            )
+            ok = np.where(res_valid)[0]
             new_here = []
             for i in ok[: cfg.tri_max_new]:
                 if store.kf_obs_lm[kf, i] >= 0 or store.kf_obs_lm[nb, idx2[i]] >= 0:
@@ -365,16 +367,18 @@ class LocalMapper:
 
         store = self.store
         nk, nl = len(kf_ids), len(lm_ids)
-        new_R = np.asarray(result.pose_R[:nk])
-        new_t = np.asarray(result.pose_t[:nk])
+        new_R, new_t, new_pts, surv = jax.device_get(
+            (result.pose_R, result.pose_t, result.points, survivors)
+        )
         fixed = np.asarray(problem.pose_fixed[:nk])
         for i, k in enumerate(kf_ids):
             if not fixed[i]:
                 store.set_kf_pose(k, new_R[i], new_t[i])
-        store.lm_pos[lm_ids] = np.asarray(result.points[:nl])
+        store.lm_pos[lm_ids] = new_pts[:nl]
 
         # Erase observations gated out by chi2/depth (g2oOptimizer.cc:1119-1189).
-        dropped = np.asarray(problem.obs_valid) & ~np.asarray(survivors)
+        # (e_kf >= 0) is the host copy of obs_valid — no extra device fetch.
+        dropped = (e_kf >= 0) & ~surv
         for li, j in zip(*np.nonzero(dropped)):
             store.erase_observation(int(lm_ids[li]), int(e_kf[li, j]))
 
