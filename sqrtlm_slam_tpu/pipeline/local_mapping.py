@@ -122,9 +122,8 @@ class LocalMapper:
             ids = np.unique(ids[ids >= 0])
             return ids[store.lm_valid[ids]][:fuse_cap]
 
-        def fuse(target_kf, lm_ids):
-            if len(lm_ids) == 0:
-                return 0
+        def fuse_dispatch(target_kf, lm_ids):
+            """Launch the projection match (async) — NO host sync here."""
             cap = fuse_cap
             pos = np.zeros((cap, 3), np.float32)
             desc = np.zeros((cap, 8), np.uint32)
@@ -139,7 +138,7 @@ class LocalMapper:
             normal[:m] = store.lm_normal[lm_ids]
             dmin[:m] = store.lm_min_dist[lm_ids]
             dmax[:m] = store.lm_max_dist[lm_ids]
-            res = _project_and_match(
+            return _project_and_match(
                 jnp.asarray(store.kf_R[target_kf]), jnp.asarray(store.kf_t[target_kf]),
                 jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
                 jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
@@ -148,13 +147,17 @@ class LocalMapper:
                 jnp.asarray(store.kf_kp_valid[target_kf]),
                 self.cam, 3.0,
             )
-            res_valid, res_idx = jax.device_get((res.valid, res.idx))
+
+        def fuse_apply(target_kf, lm_ids, res_valid, res_idx):
+            m = len(lm_ids)
             hits = np.where(res_valid[:m])[0]
             kp_idx = res_idx[:m]
             n_fused = 0
             for j in hits:
                 lm = int(lm_ids[j])
                 kp = int(kp_idx[j])
+                if not store.lm_valid[lm]:
+                    continue  # merged away by an earlier apply
                 existing = int(store.kf_obs_lm[target_kf, kp])
                 if existing == lm:
                     continue
@@ -174,10 +177,22 @@ class LocalMapper:
         for nb in neighbors:
             gathered.append(lm_of(nb))
         if gathered:
-            total += fuse(kf, np.unique(np.concatenate(gathered))[:fuse_cap])
+            ids = np.unique(np.concatenate(gathered))[:fuse_cap]
+            if len(ids):
+                res = fuse_dispatch(kf, ids)
+                rv, ri = jax.device_get((res.valid, res.idx))
+                total += fuse_apply(kf, ids, rv, ri)
+        # Reverse direction: dispatch ALL neighbor matches first (they queue
+        # on the device / in flight concurrently), then ONE batched fetch —
+        # instead of a dispatch+sync round trip per neighbor.
         own = lm_of(kf)
-        for nb in neighbors:
-            total += fuse(nb, own)
+        if len(own):
+            handles = [(nb, fuse_dispatch(nb, own)) for nb in neighbors]
+            fetched = jax.device_get(
+                [(r.valid, r.idx) for _, r in handles]
+            )
+            for (nb, _), (rv, ri) in zip(handles, fetched):
+                total += fuse_apply(nb, own, rv, ri)
         if total:
             touched = lm_of(kf)
             store.update_landmark_stats(touched[:512])
@@ -196,6 +211,11 @@ class LocalMapper:
         free1 = store.kf_kp_valid[kf] & (store.kf_obs_lm[kf] < 0)
         sigma2 = (1.2 ** (2 * store.kf_octave[kf])).astype(np.float32)
         n_created = 0
+        # Dispatch all neighbor triangulations against the same free-keypoint
+        # snapshot (in flight concurrently), then ONE batched fetch — the
+        # double-binding the sequential reference avoids by re-masking is
+        # handled by the kf_obs_lm guard in the apply loop below.
+        handles = []
         for nb in store.best_covisible(kf, cfg.tri_neighbors):
             nb = int(nb)
             # Baseline check: skip neighbors too close for parallax
@@ -215,9 +235,11 @@ class LocalMapper:
                 angles1=jnp.asarray(store.kf_angle[kf]),
                 angles2=jnp.asarray(store.kf_angle[nb]),
             )
-            res_valid, pts, idx2 = jax.device_get(
-                (res.valid, res.points_w, res.idx2)
-            )
+            handles.append((nb, res))
+        fetched = jax.device_get(
+            [(r.valid, r.points_w, r.idx2) for _, r in handles]
+        )
+        for (nb, _), (res_valid, pts, idx2) in zip(handles, fetched):
             ok = np.where(res_valid)[0]
             new_here = []
             for i in ok[: cfg.tri_max_new]:
@@ -233,7 +255,6 @@ class LocalMapper:
             if new_here:
                 store.update_landmark_stats(np.asarray(new_here))
                 self.watch_landmarks(np.asarray(new_here), kf)
-                free1 = store.kf_kp_valid[kf] & (store.kf_obs_lm[kf] < 0)
         if n_created:
             store.update_connections(kf)
         return n_created

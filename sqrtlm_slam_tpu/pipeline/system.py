@@ -143,9 +143,11 @@ class SlamSystem:
             if self.loop_closer is not None:
                 self.loop_closer.voc = self.vocabulary
         voc = self.vocabulary
+        import jax
+
         words = vocab_mod.assign_words(voc, jnp.asarray(desc), jnp.asarray(valid))
         bow = vocab_mod.bow_vector(voc, words)
-        return np.asarray(words), np.asarray(bow)
+        return jax.device_get((words, bow))
 
     def _on_new_keyframe(self, kf: int):
         if self._kf_queue is not None:

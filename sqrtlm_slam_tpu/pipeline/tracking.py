@@ -492,22 +492,26 @@ class Tracker:
 
     def _insert_keyframe_locked(self, frame: Frame) -> int:
         store = self.store
-        R = np.asarray(self.pose.R)
-        t = np.asarray(self.pose.t)
         kp = frame.kp
         words = bow = None
         if self.vocab_hook is not None:
             words, bow = self.vocab_hook(kp.desc, kp.valid)
+        # ONE batched fetch of everything the keyframe record needs (each
+        # separate np.asarray is a device round trip).
+        R, t, xy, uvr, depth_a, desc, angle, octave, kp_valid = jax.device_get(
+            (self.pose.R, self.pose.t, kp.xy, frame.uvr, frame.depth,
+             kp.desc, kp.angle, kp.octave, kp.valid)
+        )
         kf = store.add_keyframe(
-            R=R,
-            t=t,
-            xy=np.asarray(kp.xy),
-            uvr=np.asarray(frame.uvr),
-            depth=np.asarray(frame.depth),
-            desc=np.asarray(kp.desc),
-            angle=np.asarray(kp.angle),
-            octave=np.asarray(kp.octave),
-            kp_valid=np.asarray(kp.valid),
+            R=np.asarray(R),
+            t=np.asarray(t),
+            xy=xy,
+            uvr=uvr,
+            depth=depth_a,
+            desc=desc,
+            angle=angle,
+            octave=octave,
+            kp_valid=kp_valid,
             words=words,
             bow=bow,
             frame_id=self.frame_idx,
@@ -521,14 +525,14 @@ class Tracker:
                 matched_kp.add(int(kp_idx))
 
         # New landmarks from unmatched depth keypoints, nearest-first.
-        depth = np.asarray(frame.depth)
-        valid = np.asarray(kp.valid) & (depth > 0)
+        depth = depth_a  # host copies fetched above
+        valid = kp_valid & (depth > 0)
         cand = [i for i in np.argsort(np.where(valid, depth, np.inf)) if valid[i] and i not in matched_kp]
+        R = np.asarray(R)
+        t = np.asarray(t)
         T_wc_R = R.T
         C = -R.T @ t
         n_new = 0
-        xy = np.asarray(kp.xy)
-        desc = np.asarray(kp.desc)
         for i in cand:
             if n_new >= self.cfg.max_landmarks_per_kf:
                 break
