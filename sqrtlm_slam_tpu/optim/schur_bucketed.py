@@ -286,8 +286,12 @@ def build_local_pieces(
     # by shard count there — harmless).
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
+    # DEFAULT precision = one MXU pass (bf16 inputs, f32 accumulate) vs the
+    # 6-pass f32 emulation of HIGHEST — ~0.6 ms/iter at P=96,L=8192
+    # (benchmarks/breakdown5.py). The ~0.4% relative error on S is absorbed
+    # by the chi2-gated LM loop; measured final chi2 is unchanged.
     S_half = -jnp.einsum(
-        "alim,bljm->aibj", Y, Y, precision=jax.lax.Precision.HIGHEST
+        "alim,bljm->aibj", Y, Y, precision=jax.lax.Precision.DEFAULT
     ).reshape(P * 6, P * 6)
     # Add the block-diagonal Hpp_d without a scatter (einsum with eye fuses).
     S_half = S_half + jnp.einsum(
