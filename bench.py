@@ -59,11 +59,16 @@ def main():
     out, chi2 = ba_step(problem)
     float(chi2)
 
+    # Sustained throughput: chain the calls (each solve consumes the previous
+    # solution, like consecutive local-BA invocations in the pipeline) and
+    # sync the host ONCE at the end — the per-dispatch tunnel RTT (~35 ms on
+    # axon) otherwise dominates and measures the link, not the chip.
     n_calls = 5
     t0 = time.perf_counter()
+    out = problem
     for _ in range(n_calls):
-        out, chi2 = ba_step(problem)
-        last = float(chi2)
+        out, chi2 = ba_step(out)
+    last = float(chi2)
     dt = time.perf_counter() - t0
 
     iters_s = n_calls * ITERS_PER_CALL / dt

@@ -239,9 +239,23 @@ def build_local_pieces(
     problem: BucketedBAProblem, cam, active, robust_delta, mu
 ) -> LocalPieces:
     """Everything up to (but excluding) the global pose solve."""
+    terms = _edge_terms(problem, cam, active, robust_delta)
+    return pieces_from_terms(problem, terms[:5], mu)
+
+
+def pieces_from_terms(
+    problem: BucketedBAProblem, terms, mu
+) -> LocalPieces:
+    """Assemble the reduced system from precomputed edge terms.
+
+    Split out of build_local_pieces so the LM loop can carry the edge terms
+    of the current linearization point through the scan — one residual +
+    Jacobian pass per iteration instead of a full pass here plus a
+    residual-only pass for the candidate chi2 (measured ~1 ms/iter at the
+    bench shape)."""
     P, L = problem.num_poses, problem.num_points
     K = problem.obs_cam.shape[1]
-    r, Jp, Jl, w, chi2, _ = _edge_terms(problem, cam, active, robust_delta)
+    r, Jp, Jl, w, chi2 = terms
     dtype = r.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
@@ -278,7 +292,13 @@ def build_local_pieces(
     Minv = trinv_lower3x3(Lc)  # Lc^{-1}; Hll_d^{-1} = Minv^T Minv
 
     # Whitened cross blocks V = U Lc^{-T}: V[i,j] = sum_m U[i,m] Minv[j,m].
-    V = jnp.einsum("lkim,ljm->lkij", U, Minv)
+    # On TPU, Y is stored bf16: the S product runs at Precision.DEFAULT
+    # (bf16 MXU inputs) anyway, so rounding Y at rest is bit-identical for S
+    # while halving the dominant HBM read (breakdown6: 0.82 -> 0.72 ms).
+    # On CPU there is no MXU truncation, so keep f32 (tests compare the
+    # bucketed step against the flat engine at tight tolerance there).
+    y_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else dtype
+    V = jnp.einsum("lkim,ljm->lkij", U, Minv).astype(y_dtype)
     Y = _build_Y(V, problem.obs_cam, P)  # (P, L, 6, 3)
 
     # Damping of Hpp is linear in Hpp's diagonal, so damping per-shard and
@@ -291,16 +311,21 @@ def build_local_pieces(
     # (benchmarks/breakdown5.py). The ~0.4% relative error on S is absorbed
     # by the chi2-gated LM loop; measured final chi2 is unchanged.
     S_half = -jnp.einsum(
-        "alim,bljm->aibj", Y, Y, precision=jax.lax.Precision.DEFAULT
+        "alim,bljm->aibj", Y, Y, preferred_element_type=jnp.float32
     ).reshape(P * 6, P * 6)
     # Add the block-diagonal Hpp_d without a scatter (einsum with eye fuses).
     S_half = S_half + jnp.einsum(
         "pij,pq->piqj", Hpp_d, jnp.eye(P, dtype=dtype)
     ).reshape(P * 6, P * 6)
 
+    # rhs_corr = Y (Lc^{-1} bl), computed from the small f32 U tensor instead
+    # of the big bf16 Y (full f32 accuracy, ~20x less HBM read):
+    # V z = U (Minv^T (Minv bl)) slot-wise, then one one-hot pose reduction.
     z = jnp.einsum("lij,lj->li", Minv, bl)  # Lc^{-1} bl, (L, 3)
+    y2 = jnp.einsum("lmi,lm->li", Minv, z)  # Hll_d^{-1} bl
+    Vz = jnp.einsum("lkim,lm->lki", U, y2)  # (L, K, 6)
     rhs_corr = jnp.einsum(
-        "alim,lm->ai", Y, z, precision=jax.lax.Precision.HIGHEST
+        "lkp,lki->pi", O, Vz, precision=jax.lax.Precision.HIGHEST
     ).reshape(-1)
     return LocalPieces(
         S_half=S_half, bp=bp, rhs_corr=rhs_corr, chi2=chi2, U=U, Minv=Minv, bl=bl
@@ -353,42 +378,53 @@ def ba_iterate(
     num_iters: int,
     robust_delta: Optional[float],
 ) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
-    """Nielsen-damped LM loop (protocol identical to schur.ba_iterate)."""
-    chi20 = chi2_only(problem, cam, active, robust_delta)
+    """Nielsen-damped LM loop (protocol identical to schur.ba_iterate).
+
+    The scan carries the edge terms (r, Jp, Jl, w) of the current
+    linearization point: each iteration runs exactly ONE residual+Jacobian
+    pass (for the candidate), reusing it as the next linearization when the
+    step is accepted — instead of a full pass here plus a residual-only
+    chi2 pass per iteration (the reference re-linearizes every accepted
+    iteration too, problem.cc:92-167; rejected steps roll back)."""
+    r0, Jp0, Jl0, w0, chi20, _ = _edge_terms(problem, cam, active, robust_delta)
     mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
 
     def body(carry, _):
-        prob, chi2, mu, nu, n_acc = carry
-        dxp, dxl, _, bp, bl = reduce_and_solve(prob, cam, active, robust_delta, mu)
+        prob, terms, mu, nu, n_acc = carry
+        r, Jp, Jl, w, chi2 = terms
+        pieces = pieces_from_terms(prob, terms, mu)
+        rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+        dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
+        dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
+        dxl = back_substitute(pieces, prob, dxp)
+        bp, bl = pieces.bp, pieces.bl
         candidate = _apply_update(prob, dxp, dxl)
-        chi2_c = chi2_only(candidate, cam, active, robust_delta)
-        dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
-        b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
-        predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
-        rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
-        accept = (rho > 0) & jnp.isfinite(chi2_c)
-        # Select only the mutable fields (poses/points) — the observation
-        # arrays are identical in both, no need to copy them per iteration.
-        prob_new = prob._replace(
-            pose_R=jnp.where(accept, candidate.pose_R, prob.pose_R),
-            pose_t=jnp.where(accept, candidate.pose_t, prob.pose_t),
-            points=jnp.where(accept, candidate.points, prob.points),
+        r_c, Jp_c, Jl_c, w_c, chi2_c, _ = _edge_terms(
+            candidate, cam, active, robust_delta
         )
-        chi2_new = jnp.where(accept, chi2_c, chi2)
-        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        mu_new = jnp.where(accept, mu * factor, mu * nu)
-        nu_new = jnp.where(accept, 2.0, nu * 2.0)
-        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+        accept, prob_new, mu_new, nu_new = _lm_accept(
+            prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu
+        )
+        # Select only the mutable state — the observation arrays are
+        # identical in both branches, no need to copy them per iteration.
+        terms_new = (
+            jnp.where(accept, r_c, r),
+            jnp.where(accept, Jp_c, Jp),
+            jnp.where(accept, Jl_c, Jl),
+            jnp.where(accept, w_c, w),
+            jnp.where(accept, chi2_c, chi2),
+        )
+        return (prob_new, terms_new, mu_new, nu_new, n_acc + accept), None
 
     init = (
         problem,
-        chi20,
+        (r0, Jp0, Jl0, w0, chi20),
         mu0,
         jnp.asarray(2.0, dtype=chi20.dtype),
         jnp.asarray(0, dtype=jnp.int32),
     )
-    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
-    return problem, chi2, n_acc
+    (problem, terms, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return problem, terms[4], n_acc
 
 
 # ----------------------------------------------------------------------
@@ -521,6 +557,24 @@ def cg_reduce_and_solve(
     return dxp, dxl, chi2, bp, bl, cg_n
 
 
+def _lm_accept(prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu):
+    """Shared Nielsen gain-ratio accept/reject bookkeeping for the LM loops."""
+    dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
+    b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
+    predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
+    rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
+    accept = (rho > 0) & jnp.isfinite(chi2_c)
+    prob_new = prob._replace(
+        pose_R=jnp.where(accept, candidate.pose_R, prob.pose_R),
+        pose_t=jnp.where(accept, candidate.pose_t, prob.pose_t),
+        points=jnp.where(accept, candidate.points, prob.points),
+    )
+    factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+    mu_new = jnp.where(accept, mu * factor, mu * nu)
+    nu_new = jnp.where(accept, 2.0, nu * 2.0)
+    return accept, prob_new, mu_new, nu_new
+
+
 def ba_iterate_cg(
     problem: BucketedBAProblem,
     cam: reproj.Camera,
@@ -540,20 +594,10 @@ def ba_iterate_cg(
         )
         candidate = _apply_update(prob, dxp, dxl)
         chi2_c = chi2_only(candidate, cam, active, robust_delta)
-        dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
-        b_all = jnp.concatenate([bp.reshape(-1), bl.reshape(-1)])
-        predicted = 0.5 * jnp.sum(dx_all * (mu * dx_all - b_all))
-        rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
-        accept = (rho > 0) & jnp.isfinite(chi2_c)
-        prob_new = prob._replace(
-            pose_R=jnp.where(accept, candidate.pose_R, prob.pose_R),
-            pose_t=jnp.where(accept, candidate.pose_t, prob.pose_t),
-            points=jnp.where(accept, candidate.points, prob.points),
+        accept, prob_new, mu_new, nu_new = _lm_accept(
+            prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu
         )
         chi2_new = jnp.where(accept, chi2_c, chi2)
-        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        mu_new = jnp.where(accept, mu * factor, mu * nu)
-        nu_new = jnp.where(accept, 2.0, nu * 2.0)
         return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
 
     init = (problem, chi20, mu0, jnp.asarray(2.0, chi20.dtype), jnp.asarray(0, jnp.int32))
