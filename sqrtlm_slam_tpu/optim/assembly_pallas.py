@@ -1,0 +1,292 @@
+"""Pallas TPU kernel for the bucketed-BA assembly front half.
+
+Replaces the XLA-level edge-term + reduction chain of
+`schur_bucketed.pieces_from_terms` (stereo reprojection residuals/Jacobians,
+Huber weighting, the landmark-local K-axis reductions Hll/bl/U and the
+pose-block reductions Hpp/bp) with ONE kernel pass.
+
+Why a kernel: the XLA formulation operates on (L, K, 3, 6)-shaped arrays
+whose trailing dims of 3/6 pad to 128-lane vregs — the "lane-padding tax"
+measured in PERF.md (edge terms + reductions ~1.7 ms/iter at the bench shape
+vs ~0.1 ms of theoretical HBM traffic). Here the landmark axis lives on
+lanes: every per-slot quantity is a (K, 128) vreg row set at full lane
+occupancy, the K-axis reductions are register sums, and the pose-block
+reduction rides the MXU as a one-hot (P,128)x(128,42) contraction per slot
+(idea measured in benchmarks/breakdown2.py: one-hot matmul beats TPU
+scatter ~30x for these shapes).
+
+Semantics mirror exactly:
+  * stereo/mono residual rows (factors/reprojection.py::stereo_residual_jac;
+    the reference's g2o EdgeSE3ProjectXYZ / EdgeStereoSE3ProjectXYZ used in
+    /root/reference/src/backend/g2oOptimizer.cc:704-1191),
+  * Huber IRLS weights on the info-weighted squared error (optim/loss.py,
+    reference loss_function.h:38-56),
+  * free-pose masking of Jp (fixed-frontier keyframes, g2oOptimizer.cc:760).
+
+The reductions feed schur_bucketed's sqrt-Schur step unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ZEPS = 1e-6
+LANES = 128
+
+
+class AssemblyOut(NamedTuple):
+    Hll: jnp.ndarray  # (L, 3, 3)
+    bl: jnp.ndarray  # (L, 3)
+    U: jnp.ndarray  # (L, K, 6, 3)
+    Hpp: jnp.ndarray  # (P, 6, 6)
+    bp: jnp.ndarray  # (P, 6)
+    chi2: jnp.ndarray  # ()
+
+
+def _kernel(
+    rg_ref,  # (9, K, T) gathered rotations, row 3*i+j = R[i, j]
+    tg_ref,  # (3, K, T) gathered translations
+    x_ref,  # (3, K, T) landmark position (broadcast over K)
+    uvr_ref,  # (3, K, T) observations
+    w_ref,  # (K, T) inv_sigma2 * active
+    st_ref,  # (K, T) stereo row mask (1.0 stereo / 0.0 mono)
+    fr_ref,  # (K, T) free-pose mask
+    cam_ref,  # (K, T) int32 pose index
+    hll_ref,  # out (9, T)
+    bl_ref,  # out (3, T)
+    u_ref,  # out (18, K, T)
+    hpp_ref,  # out (P_pad, 48) accumulated: [:,:36]=Hpp rows, [:,36:42]=bp
+    chi_ref,  # out (1, T) accumulated
+    *,
+    K: int,
+    P_pad: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    robust_delta,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hpp_ref[:] = jnp.zeros_like(hpp_ref)
+        chi_ref[:] = jnp.zeros_like(chi_ref)
+
+    Rg = rg_ref[:]  # (9, K, T)
+    tg = tg_ref[:]
+    X = x_ref[:]
+    uvr = uvr_ref[:]
+    w_info = w_ref[:]  # (K, T)
+    st = st_ref[:]
+    fr = fr_ref[:]
+
+    # Camera-frame point x_c = R X + t, per component (K, T).
+    xc = [
+        Rg[3 * i_ + 0] * X[0] + Rg[3 * i_ + 1] * X[1] + Rg[3 * i_ + 2] * X[2] + tg[i_]
+        for i_ in range(3)
+    ]
+    z = jnp.maximum(xc[2], _ZEPS)
+    iz = 1.0 / z
+    iz2 = iz * iz
+
+    u = fx * xc[0] * iz + cx
+    v = fy * xc[1] * iz + cy
+    ur = u - bf * iz
+    r = [u - uvr[0], v - uvr[1], (ur - uvr[2]) * st]
+
+    # dproj rows; stereo row masked by st (masks r2/Jp2/Jl2 in one place).
+    zero = jnp.zeros_like(u)
+    d = [
+        [fx * iz, zero, -fx * xc[0] * iz2],
+        [zero, fy * iz, -fy * xc[1] * iz2],
+        [(fx * iz) * st, zero, (-fx * xc[0] * iz2 + bf * iz2) * st],
+    ]
+
+    # Jp = dproj @ [I | -hat(x_c)] (raw x_c in the hat, clamp only in iz).
+    Jp = [
+        [
+            d[a][0],
+            d[a][1],
+            d[a][2],
+            -d[a][1] * xc[2] + d[a][2] * xc[1],
+            d[a][0] * xc[2] - d[a][2] * xc[0],
+            -d[a][0] * xc[1] + d[a][1] * xc[0],
+        ]
+        for a in range(3)
+    ]
+    # Jl = dproj @ R.
+    Jl = [
+        [sum(d[a][m] * Rg[3 * m + j] for m in range(3)) for j in range(3)]
+        for a in range(3)
+    ]
+
+    e2 = w_info * (r[0] * r[0] + r[1] * r[1] + r[2] * r[2])
+    if robust_delta is None:
+        w = w_info
+        rho = e2
+    else:
+        delta = robust_delta
+        d2 = delta * delta
+        sqrt_e2 = jnp.sqrt(jnp.maximum(e2, 1e-12))
+        inl = e2 <= d2
+        rho = jnp.where(inl, e2, 2.0 * delta * sqrt_e2 - d2)
+        w = w_info * jnp.where(inl, 1.0, delta / sqrt_e2)
+
+    chi_ref[:] = chi_ref[:] + jnp.sum(rho, axis=0, keepdims=True)
+
+    # Free-pose masking applies to every Jp-sided product.
+    Jp = [[Jp[a][i_] * fr for i_ in range(6)] for a in range(3)]
+
+    # Landmark-local reductions (sum over K = sublane reduction).
+    for i_ in range(3):
+        bl_ref[i_, :] = jnp.sum(
+            sum(Jl[a][i_] * w * r[a] for a in range(3)), axis=0
+        )
+        for j in range(3):
+            hll = sum(Jl[a][i_] * w * Jl[a][j] for a in range(3))
+            hll_ref[3 * i_ + j, :] = jnp.sum(hll, axis=0)
+
+    # Per-slot cross blocks U = Jp^T w Jl (kept per slot for back-subst).
+    for i_ in range(6):
+        for j in range(3):
+            u_ref[3 * i_ + j] = sum(Jp[a][i_] * w * Jl[a][j] for a in range(3))
+
+    # Pose-block reduction on the MXU: per slot k, rows = [Hpp(36) | bp(6)]
+    # contracted against the one-hot camera assignment over the lane axis.
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P_pad, LANES), 0)
+    cam = cam_ref[:]
+    acc = hpp_ref[:]
+    for k in range(K):
+        rows = []
+        for i_ in range(6):
+            for j in range(6):
+                rows.append(sum(Jp[a][i_][k] * w[k] * Jp[a][j][k] for a in range(3)))
+        for i_ in range(6):
+            rows.append(sum(Jp[a][i_][k] * w[k] * r[a][k] for a in range(3)))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        hb = jnp.stack(rows, axis=0)  # (48, T)
+        onehot = (iota_p == cam[k][None, :]).astype(hb.dtype)  # (P_pad, T)
+        acc = acc + jax.lax.dot_general(
+            onehot,
+            hb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    hpp_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("robust_delta", "fx", "fy", "cx", "cy", "bf", "interpret"),
+)
+def assemble(
+    pose_R,  # (P, 3, 3)
+    pose_t,  # (P, 3)
+    pose_free,  # (P,) bool  (~pose_fixed)
+    points,  # (L, 3)
+    obs_cam,  # (L, K) int32
+    obs_uvr,  # (L, K, 3)
+    w_active,  # (L, K)  inv_sigma2 * active
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    robust_delta,
+    interpret: bool = False,
+) -> AssemblyOut:
+    """Run the assembly kernel. Returns reductions in the layouts the
+    sqrt-Schur step consumes (see schur_bucketed.pieces_from_terms)."""
+    P, L, K = pose_R.shape[0], points.shape[0], obs_cam.shape[1]
+    assert L % LANES == 0, f"L={L} must be a multiple of {LANES}"
+    P_pad = max(128, -(-P // 128) * 128)
+    n_tiles = L // LANES
+    f32 = jnp.float32
+
+    # Host-side (XLA) gathers + transposes into landmark-on-lanes layout.
+    Rg = pose_R[obs_cam]  # (L, K, 3, 3)
+    tg = pose_t[obs_cam]  # (L, K, 3)
+    rg_t = Rg.reshape(L, K, 9).transpose(2, 1, 0).astype(f32)  # (9, K, L)
+    tg_t = tg.transpose(2, 1, 0).astype(f32)  # (3, K, L)
+    x_t = jnp.broadcast_to(points.T[:, None, :], (3, K, L)).astype(f32)
+    uvr_t = obs_uvr.transpose(2, 1, 0).astype(f32)  # (3, K, L)
+    w_t = w_active.T.astype(f32)  # (K, L)
+    st_t = (obs_uvr[..., 2] >= 0.0).T.astype(f32)  # (K, L)
+    fr_t = jnp.broadcast_to(
+        pose_free[obs_cam].T.astype(f32), (K, L)
+    )  # (K, L)
+    cam_t = obs_cam.T.astype(jnp.int32)  # (K, L)
+
+    kern = functools.partial(
+        _kernel,
+        K=K,
+        P_pad=P_pad,
+        fx=fx,
+        fy=fy,
+        cx=cx,
+        cy=cy,
+        bf=bf,
+        robust_delta=robust_delta,
+    )
+    tile3 = lambda c: pl.BlockSpec(
+        (c, K, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    tile2 = lambda c: pl.BlockSpec(
+        (c, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    acc_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    hll, bl, u, hpp, chi = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            tile3(9),
+            tile3(3),
+            tile3(3),
+            tile3(3),
+            tile2(K),
+            tile2(K),
+            tile2(K),
+            tile2(K),
+        ],
+        out_specs=[
+            tile2(9),
+            tile2(3),
+            tile3(18),
+            acc_spec((P_pad, 48)),
+            acc_spec((1, LANES)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, L), f32),
+            jax.ShapeDtypeStruct((3, L), f32),
+            jax.ShapeDtypeStruct((18, K, L), f32),
+            jax.ShapeDtypeStruct((P_pad, 48), f32),
+            jax.ShapeDtypeStruct((1, LANES), f32),
+        ],
+        interpret=interpret,
+    )(rg_t, tg_t, x_t, uvr_t, w_t, st_t, fr_t, cam_t)
+
+    return AssemblyOut(
+        Hll=hll.T.reshape(L, 3, 3),
+        bl=bl.T,
+        U=u.transpose(2, 1, 0).reshape(L, K, 6, 3),
+        Hpp=hpp[:P, :36].reshape(P, 6, 6),
+        bp=hpp[:P, 36:42],
+        chi2=jnp.sum(chi),
+    )

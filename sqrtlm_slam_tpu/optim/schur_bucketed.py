@@ -235,10 +235,49 @@ class LocalPieces(NamedTuple):
     bl: jnp.ndarray  # (L, 3)
 
 
+def _pallas_assembly_ok(problem: BucketedBAProblem, cam) -> bool:
+    """Kernel path preconditions: TPU backend, lane-aligned L, static cam."""
+    if jax.default_backend() != "tpu":
+        return False
+    if problem.num_points % 128 != 0:
+        return False
+    try:
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy), float(cam.bf)
+    except Exception:
+        return False
+    return True
+
+
 def build_local_pieces(
     problem: BucketedBAProblem, cam, active, robust_delta, mu
 ) -> LocalPieces:
-    """Everything up to (but excluding) the global pose solve."""
+    """Everything up to (but excluding) the global pose solve.
+
+    On TPU the edge terms + reductions run as ONE Pallas kernel
+    (optim/assembly_pallas.py, landmarks-on-lanes layout — measured 12x the
+    XLA chain, breakdown7); elsewhere the XLA einsum path below."""
+    if _pallas_assembly_ok(problem, cam):
+        from . import assembly_pallas
+
+        w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+        out = assembly_pallas.assemble(
+            problem.pose_R,
+            problem.pose_t,
+            ~problem.pose_fixed,
+            problem.points,
+            problem.obs_cam,
+            problem.obs_uvr,
+            w_active,
+            fx=float(cam.fx),
+            fy=float(cam.fy),
+            cx=float(cam.cx),
+            cy=float(cam.cy),
+            bf=float(cam.bf),
+            robust_delta=robust_delta,
+        )
+        return _pieces_tail(
+            problem, out.Hll, out.bl, out.U, out.Hpp, out.bp, out.chi2, mu
+        )
     terms = _edge_terms(problem, cam, active, robust_delta)
     return pieces_from_terms(problem, terms[:5], mu)
 
@@ -246,19 +285,11 @@ def build_local_pieces(
 def pieces_from_terms(
     problem: BucketedBAProblem, terms, mu
 ) -> LocalPieces:
-    """Assemble the reduced system from precomputed edge terms.
-
-    Split out of build_local_pieces so the LM loop can carry the edge terms
-    of the current linearization point through the scan — one residual +
-    Jacobian pass per iteration instead of a full pass here plus a
-    residual-only pass for the candidate chi2 (measured ~1 ms/iter at the
-    bench shape)."""
+    """Assemble the reduced system from precomputed edge terms (XLA path)."""
     P, L = problem.num_poses, problem.num_points
     K = problem.obs_cam.shape[1]
     r, Jp, Jl, w, chi2 = terms
     dtype = r.dtype
-    eye3 = jnp.eye(3, dtype=dtype)
-    eye6 = jnp.eye(6, dtype=dtype)
 
     free_pose = (~problem.pose_fixed)[problem.obs_cam]
     Jp = Jp * free_pose[..., None, None].astype(dtype)
@@ -283,6 +314,18 @@ def pieces_from_terms(
         Of,
         jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6),
     )
+    return _pieces_tail(problem, Hll, bl, U, Hpp, bp, chi2, mu)
+
+
+def _pieces_tail(
+    problem: BucketedBAProblem, Hll, bl, U, Hpp, bp, chi2, mu
+) -> LocalPieces:
+    """Damping + sqrt-Schur factors from the assembled reductions."""
+    P, L = problem.num_poses, problem.num_points
+    dtype = bl.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    O = jax.nn.one_hot(problem.obs_cam, P, dtype=dtype)  # (L, K, P)
 
     # Damp (Marquardt multiplicative, matching problem.cc:632-676) + sqrt form.
     dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)

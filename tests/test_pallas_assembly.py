@@ -1,0 +1,80 @@
+"""Pallas assembly kernel vs the XLA reference reductions (interpret mode).
+
+Validates that optim/assembly_pallas.py reproduces _edge_terms +
+pieces_from_terms' reductions (Hll, bl, U, Hpp, bp, chi2) bit-accurately
+(up to f32 reassociation) on the same bucketed problem.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+from jax.experimental import pallas as pl  # noqa: F401  (skip if unavailable)
+
+from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, make_ba_problem
+from sqrtlm_slam_tpu.optim import assembly_pallas, schur_bucketed
+
+P, L, K = 8, 256, 4
+
+
+def _reference_reductions(prob, cam, active, robust_delta):
+    r, Jp, Jl, w, chi2, _ = schur_bucketed._edge_terms(
+        prob, cam, active, robust_delta
+    )
+    free = (~prob.pose_fixed)[prob.obs_cam]
+    Jp = Jp * free[..., None, None].astype(r.dtype)
+    Hll = jnp.einsum("lkri,lk,lkrj->lij", Jl, w, Jl)
+    bl = jnp.einsum("lkri,lk,lkr->li", Jl, w, r)
+    U = jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jl)
+    O = jax.nn.one_hot(prob.obs_cam, P, dtype=r.dtype).reshape(L * K, P)
+    Hpp = jnp.einsum(
+        "ep,ed->pd", O, jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp).reshape(L * K, 36)
+    ).reshape(P, 6, 6)
+    bp = jnp.einsum(
+        "ep,ei->pi", O, jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6)
+    )
+    return Hll, bl, U, Hpp, bp, chi2
+
+
+@pytest.mark.parametrize("robust_delta", [None, 2.447])
+def test_assembly_matches_xla(robust_delta):
+    flat, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    cam = DEFAULT_CAM
+    active = prob.obs_valid
+
+    ref = _reference_reductions(prob, cam, active, robust_delta)
+
+    w_active = prob.obs_inv_sigma2 * active.astype(jnp.float32)
+    with jax.disable_jit():  # interpret path on CPU
+        import functools
+        out = assembly_pallas.assemble.__wrapped__(
+            prob.pose_R,
+            prob.pose_t,
+            ~prob.pose_fixed,
+            prob.points,
+            prob.obs_cam,
+            prob.obs_uvr,
+            w_active,
+            fx=cam.fx,
+            fy=cam.fy,
+            cx=cam.cx,
+            cy=cam.cy,
+            bf=cam.bf,
+            robust_delta=robust_delta,
+            interpret=True,
+        )
+
+    names = ["Hll", "bl", "U", "Hpp", "bp", "chi2"]
+    for name, got, want in zip(names, out, ref):
+        # f32 reassociation (fused muladd chains vs einsum accumulation
+        # order) perturbs cancellation-heavy sums; the LM loop gates every
+        # step by chi2 so this is well below algorithmic significance.
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(want),
+            rtol=5e-3,
+            atol=5e-4,
+            err_msg=name,
+        )
