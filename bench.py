@@ -59,10 +59,13 @@ def main():
     out, chi2 = ba_step(problem)
     float(chi2)
 
-    # Sustained throughput: chain the calls (each solve consumes the previous
-    # solution, like consecutive local-BA invocations in the pipeline) and
-    # sync the host ONCE at the end — the per-dispatch tunnel RTT (~35 ms on
-    # axon) otherwise dominates and measures the link, not the chip.
+    # Methodology (recorded since r2, ADVICE r1): the headline metric is
+    # SUSTAINED throughput — calls are chained (each solve consumes the
+    # previous solution, like consecutive local-BA invocations in the
+    # pipeline) and the host syncs ONCE at the end, because the per-dispatch
+    # tunnel RTT (~35 ms on axon) otherwise dominates and measures the link,
+    # not the chip. A per-call-synced number (r1-pre-9998d80 methodology) is
+    # also printed on stderr so both series stay comparable.
     n_calls = 5
     t0 = time.perf_counter()
     out = problem
@@ -70,6 +73,22 @@ def main():
         out, chi2 = ba_step(out)
     last = float(chi2)
     dt = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    out2, chi2_pc = ba_step(problem)
+    float(chi2_pc)
+    dt_percall = time.perf_counter() - t1
+    print(
+        json.dumps(
+            {
+                "metric": "local_ba_lm_iters_per_s_percall_synced",
+                "value": round(ITERS_PER_CALL / dt_percall, 2),
+                "unit": "iters/s",
+                "note": "one dispatch + host sync per call (r1 methodology)",
+            }
+        ),
+        file=sys.stderr,
+    )
 
     iters_s = n_calls * ITERS_PER_CALL / dt
     edges = int(problem.obs_valid.sum())

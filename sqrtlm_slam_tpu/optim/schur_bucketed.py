@@ -235,14 +235,19 @@ class LocalPieces(NamedTuple):
     bl: jnp.ndarray  # (L, 3)
 
 
-def _pallas_assembly_ok(problem: BucketedBAProblem, cam) -> bool:
-    """Kernel path preconditions: TPU backend, lane-aligned L, static cam."""
+def _pallas_assembly_ok(problem: BucketedBAProblem, cam, robust_delta=None) -> bool:
+    """Kernel path preconditions: TPU backend, lane-aligned L, static cam
+    and a static (hashable) robust_delta — the kernel jits with all of these
+    in static_argnames, so a traced value must fall back to the XLA path."""
     if jax.default_backend() != "tpu":
         return False
     if problem.num_points % 128 != 0:
         return False
     try:
         float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy), float(cam.bf)
+        if robust_delta is not None:
+            float(robust_delta)
+            hash(robust_delta)
     except Exception:
         return False
     return True
@@ -256,7 +261,7 @@ def build_local_pieces(
     On TPU the edge terms + reductions run as ONE Pallas kernel
     (optim/assembly_pallas.py, landmarks-on-lanes layout — measured 12x the
     XLA chain, breakdown7); elsewhere the XLA einsum path below."""
-    if _pallas_assembly_ok(problem, cam):
+    if _pallas_assembly_ok(problem, cam, robust_delta):
         from . import assembly_pallas
 
         w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
@@ -283,7 +288,7 @@ def build_local_pieces(
 
 
 def pieces_from_terms(
-    problem: BucketedBAProblem, terms, mu
+    problem: BucketedBAProblem, terms, mu, y_bf16: Optional[bool] = None
 ) -> LocalPieces:
     """Assemble the reduced system from precomputed edge terms (XLA path)."""
     P, L = problem.num_poses, problem.num_points
@@ -314,11 +319,12 @@ def pieces_from_terms(
         Of,
         jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6),
     )
-    return _pieces_tail(problem, Hll, bl, U, Hpp, bp, chi2, mu)
+    return _pieces_tail(problem, Hll, bl, U, Hpp, bp, chi2, mu, y_bf16)
 
 
 def _pieces_tail(
-    problem: BucketedBAProblem, Hll, bl, U, Hpp, bp, chi2, mu
+    problem: BucketedBAProblem, Hll, bl, U, Hpp, bp, chi2, mu,
+    y_bf16: Optional[bool] = None,
 ) -> LocalPieces:
     """Damping + sqrt-Schur factors from the assembled reductions."""
     P, L = problem.num_poses, problem.num_points
@@ -340,7 +346,14 @@ def _pieces_tail(
     # while halving the dominant HBM read (breakdown6: 0.82 -> 0.72 ms).
     # On CPU there is no MXU truncation, so keep f32 (tests compare the
     # bucketed step against the flat engine at tight tolerance there).
-    y_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else dtype
+    # When y_bf16 is None the choice keys off jax.default_backend() at TRACE
+    # time — callers jitting for a device that is not the default backend
+    # (e.g. an explicit device_put to CPU on a TPU host) must pass y_bf16
+    # explicitly to avoid bf16 Y without the MXU truncation that makes it
+    # free on TPU.
+    if y_bf16 is None:
+        y_bf16 = jax.default_backend() == "tpu"
+    y_dtype = jnp.bfloat16 if y_bf16 else dtype
     V = jnp.einsum("lkim,ljm->lkij", U, Minv).astype(y_dtype)
     Y = _build_Y(V, problem.obs_cam, P)  # (P, L, 6, 3)
 
@@ -420,15 +433,25 @@ def ba_iterate(
     active,
     num_iters: int,
     robust_delta: Optional[float],
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
     """Nielsen-damped LM loop (protocol identical to schur.ba_iterate).
 
-    The scan carries the edge terms (r, Jp, Jl, w) of the current
-    linearization point: each iteration runs exactly ONE residual+Jacobian
-    pass (for the candidate), reusing it as the next linearization when the
-    step is accepted — instead of a full pass here plus a residual-only
-    chi2 pass per iteration (the reference re-linearizes every accepted
-    iteration too, problem.cc:92-167; rejected steps roll back)."""
+    Two equivalent bodies (same algebra, same accept/reject protocol as the
+    reference's problem.cc:92-167 — rejected steps roll back):
+
+    * **Pallas path** (TPU, lane-aligned L, static cam/robust_delta): each
+      iteration runs the fused assembly kernel at the current linearization
+      point plus one residual-only chi2 pass for the candidate.
+    * **XLA path**: the scan carries the edge terms (r, Jp, Jl, w) of the
+      current linearization point, so each iteration runs exactly ONE
+      residual+Jacobian pass (for the candidate), reusing it as the next
+      linearization when the step is accepted.
+    """
+    if use_pallas is None:
+        use_pallas = _pallas_assembly_ok(problem, cam, robust_delta)
+    if use_pallas:
+        return _ba_iterate_assembled(problem, cam, active, num_iters, robust_delta)
     r0, Jp0, Jl0, w0, chi20, _ = _edge_terms(problem, cam, active, robust_delta)
     mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
 
@@ -468,6 +491,44 @@ def ba_iterate(
     )
     (problem, terms, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
     return problem, terms[4], n_acc
+
+
+def _ba_iterate_assembled(
+    problem: BucketedBAProblem,
+    cam: reproj.Camera,
+    active,
+    num_iters: int,
+    robust_delta: Optional[float],
+) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
+    """LM loop body that re-assembles via build_local_pieces each iteration
+    (the fused Pallas kernel on TPU) + one residual-only candidate pass."""
+    dtype = problem.points.dtype
+
+    def body(carry, _):
+        prob, chi2_prev, mu, nu, n_acc = carry
+        pieces = build_local_pieces(prob, cam, active, robust_delta, mu)
+        chi2 = pieces.chi2  # chi2 at the current linearization point
+        rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+        dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
+        dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
+        dxl = back_substitute(pieces, prob, dxp)
+        candidate = _apply_update(prob, dxp, dxl)
+        chi2_c = chi2_only(candidate, cam, active, robust_delta)
+        accept, prob_new, mu_new, nu_new = _lm_accept(
+            prob, candidate, chi2, chi2_c, dxp, dxl, pieces.bp, pieces.bl, mu, nu
+        )
+        chi2_new = jnp.where(accept, chi2_c, chi2)
+        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+
+    init = (
+        problem,
+        jnp.asarray(jnp.inf, dtype=dtype),
+        jnp.asarray(1e-3, dtype=dtype),
+        jnp.asarray(2.0, dtype=dtype),
+        jnp.asarray(0, dtype=jnp.int32),
+    )
+    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    return problem, chi2, n_acc
 
 
 # ----------------------------------------------------------------------

@@ -78,3 +78,61 @@ def test_assembly_matches_xla(robust_delta):
             atol=5e-4,
             err_msg=name,
         )
+
+
+def test_ba_iterate_assembled_matches_carried():
+    """The re-assembling LM body (the TPU kernel path's loop structure, on
+    the XLA fallback here) must track the carried-terms LM loop: identical
+    protocol, same accepted chi2 trajectory up to f32 reassociation."""
+    flat, _ = make_ba_problem(seed=1, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    cam = DEFAULT_CAM
+
+    out_a, chi2_a, acc_a = schur_bucketed.ba_iterate(
+        prob, cam, prob.obs_valid, 8, robust_delta=2.447, use_pallas=False
+    )
+    out_b, chi2_b, acc_b = schur_bucketed._ba_iterate_assembled(
+        prob, cam, prob.obs_valid, 8, robust_delta=2.447
+    )
+    assert int(acc_a) == int(acc_b)
+    np.testing.assert_allclose(float(chi2_a), float(chi2_b), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_a.pose_t), np.asarray(out_b.pose_t), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_pallas_ok_rejects_traced_robust_delta():
+    """A non-static robust_delta must route to the XLA path, not crash the
+    kernel jit (ADVICE r1: unhashable-static error)."""
+    flat, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    assert not schur_bucketed._pallas_assembly_ok(
+        prob, DEFAULT_CAM, jnp.asarray(2.447)
+    )
+    assert schur_bucketed._pallas_assembly_ok(prob, DEFAULT_CAM, 2.447) == (
+        jax.default_backend() == "tpu" and L % 128 == 0
+    )
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled kernel path needs a TPU"
+)
+def test_assembly_compiled_tpu_matches_xla():
+    """Compiled (non-interpret) kernel vs the XLA reductions, on-chip —
+    covers TPU-only layout/lowering bugs the interpret test cannot see."""
+    flat, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    cam = DEFAULT_CAM
+    ref = _reference_reductions(prob, cam, prob.obs_valid, 2.447)
+    w_active = prob.obs_inv_sigma2 * prob.obs_valid.astype(jnp.float32)
+    out = assembly_pallas.assemble(
+        prob.pose_R, prob.pose_t, ~prob.pose_fixed, prob.points,
+        prob.obs_cam, prob.obs_uvr, w_active,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+        robust_delta=2.447,
+    )
+    for name, got, want in zip(["Hll", "bl", "U", "Hpp", "bp", "chi2"], out, ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-4, err_msg=name
+        )
