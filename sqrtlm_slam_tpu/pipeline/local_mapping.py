@@ -78,6 +78,7 @@ class LocalMappingConfig(NamedTuple):
     triangulate: bool = True  # CreateNewMapPoints (LocalMapping.cc:329)
     tri_neighbors: int = 6  # covisible neighbors searched (10/20 in ref)
     tri_max_new: int = 200  # new landmarks per keyframe pair cap
+    backend: str = "bucketed"  # optim.facade backend (Optimizer.cc:26-28)
 
 
 class LocalMapper:
@@ -85,7 +86,12 @@ class LocalMapper:
         self.store = store
         self.cam = cam
         self.cfg = cfg
-        self._ba_jit = jax.jit(lambda p: schur_bucketed.local_ba(p, cam))
+        from ..optim import facade
+
+        self._optimizer = facade.Optimizer(cfg.backend)
+        self._ba_jit = jax.jit(
+            lambda p: self._optimizer.local_bundle_adjustment(p, cam)
+        )
         self.recent_landmarks: list = []  # (lm_id, created_at_kf)
 
     # ------------------------------------------------------------------
