@@ -193,6 +193,15 @@ def main():
             landmarks=lms, title=f"KITTI {args.seq} ({args.mode})",
         )
         print(f"plot -> {args.plot}", file=sys.stderr)
+        if args.mode != "lidar":
+            from sqrtlm_slam_tpu.eval.plot import render_slam_result
+
+            snap_path = args.plot.rsplit(".", 1)[0] + "_snapshot.png"
+            render_slam_result(
+                slam.get_slam_result(), snap_path,
+                gt=seq.gt_poses[: len(est)] if seq.gt_poses is not None else None,
+            )
+            print(f"slam-result snapshot -> {snap_path}", file=sys.stderr)
 
     result = {"seq": args.seq, "mode": args.mode, "frames": int(n)}
     if seq.gt_poses is not None and len(est):

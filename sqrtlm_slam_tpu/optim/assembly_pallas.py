@@ -290,3 +290,114 @@ def assemble(
         bp=hpp[:P, 36:42],
         chi2=jnp.sum(chi),
     )
+
+
+def _chi2_kernel(
+    rg_ref,  # (9, K, T)
+    tg_ref,  # (3, K, T)
+    x_ref,  # (3, K, T)
+    uvr_ref,  # (3, K, T)
+    w_ref,  # (K, T)
+    st_ref,  # (K, T)
+    chi_ref,  # out (1, T) accumulated
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    robust_delta,
+):
+    """Residual-only pass: the robust chi2 sum at the given state (the LM
+    candidate evaluation). Same projection/loss semantics as _kernel."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        chi_ref[:] = jnp.zeros_like(chi_ref)
+
+    Rg = rg_ref[:]
+    tg = tg_ref[:]
+    X = x_ref[:]
+    uvr = uvr_ref[:]
+    w_info = w_ref[:]
+    st = st_ref[:]
+
+    xc = [
+        Rg[3 * i_ + 0] * X[0] + Rg[3 * i_ + 1] * X[1] + Rg[3 * i_ + 2] * X[2] + tg[i_]
+        for i_ in range(3)
+    ]
+    z = jnp.maximum(xc[2], _ZEPS)
+    iz = 1.0 / z
+    u = fx * xc[0] * iz + cx
+    v = fy * xc[1] * iz + cy
+    ur = u - bf * iz
+    r0 = u - uvr[0]
+    r1 = v - uvr[1]
+    r2 = (ur - uvr[2]) * st
+    e2 = w_info * (r0 * r0 + r1 * r1 + r2 * r2)
+    if robust_delta is None:
+        rho = e2
+    else:
+        delta = robust_delta
+        d2 = delta * delta
+        sqrt_e2 = jnp.sqrt(jnp.maximum(e2, 1e-12))
+        rho = jnp.where(e2 <= d2, e2, 2.0 * delta * sqrt_e2 - d2)
+    chi_ref[:] = chi_ref[:] + jnp.sum(rho, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("robust_delta", "fx", "fy", "cx", "cy", "bf", "interpret"),
+)
+def chi2_sum(
+    pose_R,  # (P, 3, 3)
+    pose_t,  # (P, 3)
+    points,  # (L, 3)
+    obs_cam,  # (L, K) int32
+    obs_uvr,  # (L, K, 3)
+    w_active,  # (L, K)
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    robust_delta,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Robust chi2 of the bucketed problem via the residual-only kernel."""
+    L, K = obs_cam.shape
+    assert L % LANES == 0, f"L={L} must be a multiple of {LANES}"
+    n_tiles = L // LANES
+    f32 = jnp.float32
+
+    Rg = pose_R[obs_cam]
+    tg = pose_t[obs_cam]
+    rg_t = Rg.reshape(L, K, 9).transpose(2, 1, 0).astype(f32)
+    tg_t = tg.transpose(2, 1, 0).astype(f32)
+    x_t = jnp.broadcast_to(points.T[:, None, :], (3, K, L)).astype(f32)
+    uvr_t = obs_uvr.transpose(2, 1, 0).astype(f32)
+    w_t = w_active.T.astype(f32)
+    st_t = (obs_uvr[..., 2] >= 0.0).T.astype(f32)
+
+    kern = functools.partial(
+        _chi2_kernel, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf, robust_delta=robust_delta
+    )
+    tile3 = lambda c: pl.BlockSpec(
+        (c, K, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    tile2 = lambda c: pl.BlockSpec(
+        (c, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    chi = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[tile3(9), tile3(3), tile3(3), tile3(3), tile2(K), tile2(K)],
+        out_specs=pl.BlockSpec(
+            (1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, LANES), f32),
+        interpret=interpret,
+    )(rg_t, tg_t, x_t, uvr_t, w_t, st_t)
+    return jnp.sum(chi)

@@ -190,6 +190,24 @@ def _edge_terms(problem: BucketedBAProblem, cam: reproj.Camera, active, robust_d
 
 
 def chi2_only(problem: BucketedBAProblem, cam, active, robust_delta):
+    if _pallas_assembly_ok(problem, cam, robust_delta):
+        from . import assembly_pallas
+
+        w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+        return assembly_pallas.chi2_sum(
+            problem.pose_R,
+            problem.pose_t,
+            problem.points,
+            problem.obs_cam,
+            problem.obs_uvr,
+            w_active,
+            fx=float(cam.fx),
+            fy=float(cam.fy),
+            cx=float(cam.cx),
+            cy=float(cam.cy),
+            bf=float(cam.bf),
+            robust_delta=robust_delta,
+        )
     return _edge_terms(problem, cam, active, robust_delta)[4]
 
 

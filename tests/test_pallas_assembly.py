@@ -136,3 +136,20 @@ def test_assembly_compiled_tpu_matches_xla():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize("robust_delta", [None, 2.447])
+def test_chi2_kernel_matches_xla(robust_delta):
+    """Residual-only kernel (LM candidate evaluation) vs the XLA chi2."""
+    flat, _ = make_ba_problem(seed=2, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    cam = DEFAULT_CAM
+    want = schur_bucketed._edge_terms(prob, cam, prob.obs_valid, robust_delta)[4]
+    w_active = prob.obs_inv_sigma2 * prob.obs_valid.astype(jnp.float32)
+    with jax.disable_jit():
+        got = assembly_pallas.chi2_sum.__wrapped__(
+            prob.pose_R, prob.pose_t, prob.points, prob.obs_cam, prob.obs_uvr,
+            w_active, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+            robust_delta=robust_delta, interpret=True,
+        )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)

@@ -72,3 +72,30 @@ def test_load_yaml_config(tmp_path):
     assert abs(cfg.orb.scale_factor - 1.25) < 1e-9
     assert cfg.th_depth_scale == 99.0
     assert cfg.tracking.close_depth == 33.0
+
+
+def test_render_slam_result(tmp_path):
+    """Multi-panel SLAMresult snapshot (the Visualization() replacement)."""
+    import numpy as np
+
+    from sqrtlm_slam_tpu.eval.plot import render_slam_result
+
+    rng = np.random.default_rng(0)
+    res = {
+        "state": 2, "ref_kf": 1, "num_inliers": 99,
+        "kf_ids": np.arange(3),
+        "kf_R": np.tile(np.eye(3, dtype=np.float32), (3, 1, 1)),
+        "kf_t": rng.normal(size=(3, 3)).astype(np.float32),
+        "map_points": rng.normal(size=(200, 3)),
+        "local_map_points": rng.normal(size=(40, 3)),
+        "trajectory": np.tile(np.eye(4), (10, 1, 1)),
+        "lidar_corner": rng.normal(size=(20, 3)),
+        "lidar_flat": rng.normal(size=(100, 3)),
+    }
+    out = render_slam_result(
+        res, str(tmp_path / "snap.png"),
+        depth_image=rng.random((32, 64)), range_image=rng.random((16, 90)),
+    )
+    import os
+
+    assert os.path.getsize(out) > 10000
