@@ -407,13 +407,22 @@ def _pieces_tail(
 
 
 def solve_pose_system(S, rhs, pose_fixed):
-    """Gauge-fix + dense Cholesky solve of the reduced camera system."""
+    """Gauge-fix + dense Cholesky solve of the reduced camera system.
+
+    cholesky + two triangular solves directly — measured 2.4x faster than
+    jax.scipy cho_factor/cho_solve at 576x576 on TPU (benchmarks/breakdown9)."""
     dtype = S.dtype
     fixed6 = jnp.repeat(pose_fixed, 6)
     S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
     S = S + jnp.diag(fixed6.astype(dtype))
     rhs = jnp.where(fixed6, 0.0, rhs)
-    dxp_flat = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), rhs)
+    Lc = jnp.linalg.cholesky(S)
+    y = jax.lax.linalg.triangular_solve(
+        Lc, rhs[:, None], left_side=True, lower=True
+    )
+    dxp_flat = jax.lax.linalg.triangular_solve(
+        Lc, y, left_side=True, lower=True, transpose_a=True
+    )[:, 0]
     return dxp_flat.reshape(-1, 6)
 
 
