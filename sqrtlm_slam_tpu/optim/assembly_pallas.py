@@ -49,10 +49,83 @@ class AssemblyOut(NamedTuple):
     chi2: jnp.ndarray  # ()
 
 
+class PreparedObs(NamedTuple):
+    """Observation-side kernel inputs in landmark-on-lanes layout.
+
+    These are constant across an entire LM loop (the observation graph,
+    weights, stereo flags, free-pose mask and camera assignment do not change
+    between iterations) — preparing them ONCE outside the scan and closing
+    over them keeps their transposes/gathers out of the per-iteration cost
+    (measured 0.2+ ms/iter at the bench shape, benchmarks/breakdown10.py)."""
+
+    uvr_t: jnp.ndarray  # (3, K, L)
+    w_t: jnp.ndarray  # (K, L) inv_sigma2 * active
+    st_t: jnp.ndarray  # (K, L) stereo row mask
+    fr_t: jnp.ndarray  # (K, L) free-pose mask
+    cam_t: jnp.ndarray  # (K, L) int32 pose index
+
+
+def prepare(obs_uvr, w_active, pose_free, obs_cam) -> PreparedObs:
+    """Transpose the loop-constant observation arrays once."""
+    L, K = obs_cam.shape
+    f32 = jnp.float32
+    return PreparedObs(
+        uvr_t=obs_uvr.transpose(2, 1, 0).astype(f32),
+        w_t=w_active.T.astype(f32),
+        st_t=(obs_uvr[..., 2] >= 0.0).T.astype(f32),
+        fr_t=jnp.broadcast_to(pose_free[obs_cam].T.astype(f32), (K, L)),
+        cam_t=obs_cam.T.astype(jnp.int32),
+    )
+
+
+def _pose_flat(pose_R, pose_t, P_pad):
+    """Pack poses as (12, P_pad): rows 0-8 = R[i,j] (row-major), 9-11 = t.
+
+    The kernel gathers per-slot pose rows on the MXU (one-hot contraction
+    over the pose axis) instead of the XLA-side (L, K, 12) gather+transpose
+    that used to feed it — the gathered tensor never touches HBM."""
+    P = pose_R.shape[0]
+    flat = jnp.concatenate(
+        [pose_R.reshape(P, 9), pose_t], axis=1
+    ).T.astype(jnp.float32)  # (12, P)
+    return jnp.pad(flat, ((0, 0), (0, P_pad - P)))
+
+
+def _gather_poses(pose_ref, cam, K, P_pad, T):
+    """In-kernel pose gather: per slot k, (12, T) = pose (12, P_pad) @ onehot.
+
+    Returns (Rg, tg) stacked as (9, K, T) / (3, K, T) to feed the shared
+    elementwise pipeline."""
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P_pad, T), 0)
+    g = []
+    for k in range(K):
+        onehot = (iota_p == cam[k][None, :]).astype(jnp.float32)  # (P_pad, T)
+        g.append(
+            jax.lax.dot_general(
+                pose_ref[:],
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # HIGHEST = full-f32 MXU passes. DEFAULT truncates the f32
+                # inputs to bf16, which would round the gathered poses
+                # (selection by a 0/1 matrix must be exact). The (12, P_pad)
+                # x (P_pad, T) contraction is tiny either way.
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )  # (12, T)
+    Rg = jnp.stack(
+        [jnp.stack([g[k][r] for k in range(K)], axis=0) for r in range(9)], axis=0
+    )
+    tg = jnp.stack(
+        [jnp.stack([g[k][9 + i] for k in range(K)], axis=0) for i in range(3)],
+        axis=0,
+    )
+    return Rg, tg
+
+
 def _kernel(
-    rg_ref,  # (9, K, T) gathered rotations, row 3*i+j = R[i, j]
-    tg_ref,  # (3, K, T) gathered translations
-    x_ref,  # (3, K, T) landmark position (broadcast over K)
+    pose_ref,  # (12, P_pad) packed poses (see _pose_flat)
+    x_ref,  # (3, T) landmark position
     uvr_ref,  # (3, K, T) observations
     w_ref,  # (K, T) inv_sigma2 * active
     st_ref,  # (K, T) stereo row mask (1.0 stereo / 0.0 mono)
@@ -80,9 +153,10 @@ def _kernel(
         hpp_ref[:] = jnp.zeros_like(hpp_ref)
         chi_ref[:] = jnp.zeros_like(chi_ref)
 
-    Rg = rg_ref[:]  # (9, K, T)
-    tg = tg_ref[:]
-    X = x_ref[:]
+    cam = cam_ref[:]
+    T = cam.shape[-1]
+    Rg, tg = _gather_poses(pose_ref, cam, K, P_pad, T)
+    X = x_ref[:][:, None, :]  # (3, 1, T) broadcasts over K
     uvr = uvr_ref[:]
     w_info = w_ref[:]  # (K, T)
     st = st_ref[:]
@@ -184,22 +258,20 @@ def _kernel(
             hb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST: DEFAULT would round the f32 Hpp/bp rows to bf16 on
+            # the MXU — measured up to 19% relative error on
+            # cancellation-heavy off-diagonal Hpp entries. The onehot side
+            # is 0/1 (exact either way).
+            precision=jax.lax.Precision.HIGHEST,
         )
     hpp_ref[:] = acc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("robust_delta", "fx", "fy", "cx", "cy", "bf", "interpret"),
-)
-def assemble(
+def assemble_prepared(
     pose_R,  # (P, 3, 3)
     pose_t,  # (P, 3)
-    pose_free,  # (P,) bool  (~pose_fixed)
     points,  # (L, 3)
-    obs_cam,  # (L, K) int32
-    obs_uvr,  # (L, K, 3)
-    w_active,  # (L, K)  inv_sigma2 * active
+    prep: PreparedObs,
     *,
     fx: float,
     fy: float,
@@ -209,27 +281,19 @@ def assemble(
     robust_delta,
     interpret: bool = False,
 ) -> AssemblyOut:
-    """Run the assembly kernel. Returns reductions in the layouts the
-    sqrt-Schur step consumes (see schur_bucketed.pieces_from_terms)."""
-    P, L, K = pose_R.shape[0], points.shape[0], obs_cam.shape[1]
+    """Run the assembly kernel on pre-transposed observation buffers.
+
+    Only the pose/point state crosses HBM per call; the pose gather happens
+    inside the kernel on the MXU (see _gather_poses)."""
+    P, L = pose_R.shape[0], points.shape[0]
+    K = prep.cam_t.shape[0]
     assert L % LANES == 0, f"L={L} must be a multiple of {LANES}"
     P_pad = max(128, -(-P // 128) * 128)
     n_tiles = L // LANES
     f32 = jnp.float32
 
-    # Host-side (XLA) gathers + transposes into landmark-on-lanes layout.
-    Rg = pose_R[obs_cam]  # (L, K, 3, 3)
-    tg = pose_t[obs_cam]  # (L, K, 3)
-    rg_t = Rg.reshape(L, K, 9).transpose(2, 1, 0).astype(f32)  # (9, K, L)
-    tg_t = tg.transpose(2, 1, 0).astype(f32)  # (3, K, L)
-    x_t = jnp.broadcast_to(points.T[:, None, :], (3, K, L)).astype(f32)
-    uvr_t = obs_uvr.transpose(2, 1, 0).astype(f32)  # (3, K, L)
-    w_t = w_active.T.astype(f32)  # (K, L)
-    st_t = (obs_uvr[..., 2] >= 0.0).T.astype(f32)  # (K, L)
-    fr_t = jnp.broadcast_to(
-        pose_free[obs_cam].T.astype(f32), (K, L)
-    )  # (K, L)
-    cam_t = obs_cam.T.astype(jnp.int32)  # (K, L)
+    pose_flat = _pose_flat(pose_R, pose_t, P_pad)  # (12, P_pad)
+    x_t = points.T.astype(f32)  # (3, L)
 
     kern = functools.partial(
         _kernel,
@@ -256,9 +320,8 @@ def assemble(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            tile3(9),
-            tile3(3),
-            tile3(3),
+            acc_spec((12, P_pad)),
+            tile2(3),
             tile3(3),
             tile2(K),
             tile2(K),
@@ -280,7 +343,7 @@ def assemble(
             jax.ShapeDtypeStruct((1, LANES), f32),
         ],
         interpret=interpret,
-    )(rg_t, tg_t, x_t, uvr_t, w_t, st_t, fr_t, cam_t)
+    )(pose_flat, x_t, prep.uvr_t, prep.w_t, prep.st_t, prep.fr_t, prep.cam_t)
 
     return AssemblyOut(
         Hll=hll.T.reshape(L, 3, 3),
@@ -292,15 +355,58 @@ def assemble(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("robust_delta", "fx", "fy", "cx", "cy", "bf", "interpret"),
+)
+def assemble(
+    pose_R,  # (P, 3, 3)
+    pose_t,  # (P, 3)
+    pose_free,  # (P,) bool  (~pose_fixed)
+    points,  # (L, 3)
+    obs_cam,  # (L, K) int32
+    obs_uvr,  # (L, K, 3)
+    w_active,  # (L, K)  inv_sigma2 * active
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    robust_delta,
+    interpret: bool = False,
+) -> AssemblyOut:
+    """One-shot wrapper: prepare the observation buffers and assemble.
+
+    Inside an LM loop call prepare() once and assemble_prepared() per
+    iteration instead, so the constant transposes stay out of the loop."""
+    prep = prepare(obs_uvr, w_active, pose_free, obs_cam)
+    return assemble_prepared(
+        pose_R,
+        pose_t,
+        points,
+        prep,
+        fx=fx,
+        fy=fy,
+        cx=cx,
+        cy=cy,
+        bf=bf,
+        robust_delta=robust_delta,
+        interpret=interpret,
+    )
+
+
 def _chi2_kernel(
-    rg_ref,  # (9, K, T)
-    tg_ref,  # (3, K, T)
-    x_ref,  # (3, K, T)
+    pose_ref,  # (12, P_pad) packed poses
+    x_ref,  # (3, T)
     uvr_ref,  # (3, K, T)
     w_ref,  # (K, T)
     st_ref,  # (K, T)
+    cam_ref,  # (K, T) int32
     chi_ref,  # out (1, T) accumulated
     *,
+    K: int,
+    P_pad: int,
     fx: float,
     fy: float,
     cx: float,
@@ -316,9 +422,10 @@ def _chi2_kernel(
     def _():
         chi_ref[:] = jnp.zeros_like(chi_ref)
 
-    Rg = rg_ref[:]
-    tg = tg_ref[:]
-    X = x_ref[:]
+    cam = cam_ref[:]
+    T = cam.shape[-1]
+    Rg, tg = _gather_poses(pose_ref, cam, K, P_pad, T)
+    X = x_ref[:][:, None, :]  # (3, 1, T)
     uvr = uvr_ref[:]
     w_info = w_ref[:]
     st = st_ref[:]
@@ -346,6 +453,64 @@ def _chi2_kernel(
     chi_ref[:] = chi_ref[:] + jnp.sum(rho, axis=0, keepdims=True)
 
 
+def chi2_prepared(
+    pose_R,  # (P, 3, 3)
+    pose_t,  # (P, 3)
+    points,  # (L, 3)
+    prep: PreparedObs,
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float,
+    robust_delta,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Robust chi2 via the residual-only kernel on prepared buffers."""
+    P, L = pose_R.shape[0], points.shape[0]
+    K = prep.cam_t.shape[0]
+    assert L % LANES == 0, f"L={L} must be a multiple of {LANES}"
+    P_pad = max(128, -(-P // 128) * 128)
+    n_tiles = L // LANES
+    f32 = jnp.float32
+
+    pose_flat = _pose_flat(pose_R, pose_t, P_pad)
+    x_t = points.T.astype(f32)
+
+    kern = functools.partial(
+        _chi2_kernel,
+        K=K,
+        P_pad=P_pad,
+        fx=fx,
+        fy=fy,
+        cx=cx,
+        cy=cy,
+        bf=bf,
+        robust_delta=robust_delta,
+    )
+    tile3 = lambda c: pl.BlockSpec(
+        (c, K, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    tile2 = lambda c: pl.BlockSpec(
+        (c, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    chi = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[full((12, P_pad)), tile2(3), tile3(3), tile2(K), tile2(K), tile2(K)],
+        out_specs=pl.BlockSpec(
+            (1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, LANES), f32),
+        interpret=interpret,
+    )(pose_flat, x_t, prep.uvr_t, prep.w_t, prep.st_t, prep.cam_t)
+    return jnp.sum(chi)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("robust_delta", "fx", "fy", "cx", "cy", "bf", "interpret"),
@@ -366,38 +531,20 @@ def chi2_sum(
     robust_delta,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Robust chi2 of the bucketed problem via the residual-only kernel."""
-    L, K = obs_cam.shape
-    assert L % LANES == 0, f"L={L} must be a multiple of {LANES}"
-    n_tiles = L // LANES
-    f32 = jnp.float32
-
-    Rg = pose_R[obs_cam]
-    tg = pose_t[obs_cam]
-    rg_t = Rg.reshape(L, K, 9).transpose(2, 1, 0).astype(f32)
-    tg_t = tg.transpose(2, 1, 0).astype(f32)
-    x_t = jnp.broadcast_to(points.T[:, None, :], (3, K, L)).astype(f32)
-    uvr_t = obs_uvr.transpose(2, 1, 0).astype(f32)
-    w_t = w_active.T.astype(f32)
-    st_t = (obs_uvr[..., 2] >= 0.0).T.astype(f32)
-
-    kern = functools.partial(
-        _chi2_kernel, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf, robust_delta=robust_delta
+    """One-shot wrapper: robust chi2 of the bucketed problem."""
+    prep = prepare(
+        obs_uvr, w_active, jnp.ones(pose_R.shape[0], bool), obs_cam
     )
-    tile3 = lambda c: pl.BlockSpec(
-        (c, K, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-    )
-    tile2 = lambda c: pl.BlockSpec(
-        (c, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    chi = pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
-        in_specs=[tile3(9), tile3(3), tile3(3), tile3(3), tile2(K), tile2(K)],
-        out_specs=pl.BlockSpec(
-            (1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, LANES), f32),
+    return chi2_prepared(
+        pose_R,
+        pose_t,
+        points,
+        prep,
+        fx=fx,
+        fy=fy,
+        cx=cx,
+        cy=cy,
+        bf=bf,
+        robust_delta=robust_delta,
         interpret=interpret,
-    )(rg_t, tg_t, x_t, uvr_t, w_t, st_t)
-    return jnp.sum(chi)
+    )

@@ -483,7 +483,8 @@ def ba_iterate(
     mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
 
     def body(carry, _):
-        prob, terms, mu, nu, n_acc = carry
+        pose_R, pose_t, points, terms, mu, nu, n_acc = carry
+        prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
         r, Jp, Jl, w, chi2 = terms
         pieces = pieces_from_terms(prob, terms, mu)
         rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
@@ -499,7 +500,7 @@ def ba_iterate(
             prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu
         )
         # Select only the mutable state — the observation arrays are
-        # identical in both branches, no need to copy them per iteration.
+        # closed-over constants, kept out of the carry entirely.
         terms_new = (
             jnp.where(accept, r_c, r),
             jnp.where(accept, Jp_c, Jp),
@@ -507,16 +508,30 @@ def ba_iterate(
             jnp.where(accept, w_c, w),
             jnp.where(accept, chi2_c, chi2),
         )
-        return (prob_new, terms_new, mu_new, nu_new, n_acc + accept), None
+        new_carry = (
+            prob_new.pose_R,
+            prob_new.pose_t,
+            prob_new.points,
+            terms_new,
+            mu_new,
+            nu_new,
+            n_acc + accept,
+        )
+        return new_carry, None
 
     init = (
-        problem,
+        problem.pose_R,
+        problem.pose_t,
+        problem.points,
         (r0, Jp0, Jl0, w0, chi20),
         mu0,
         jnp.asarray(2.0, dtype=chi20.dtype),
         jnp.asarray(0, dtype=jnp.int32),
     )
-    (problem, terms, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    (pose_R, pose_t, points, terms, _, _, n_acc), _ = jax.lax.scan(
+        body, init, None, length=num_iters
+    )
+    problem = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
     return problem, terms[4], n_acc
 
 
@@ -527,34 +542,93 @@ def _ba_iterate_assembled(
     num_iters: int,
     robust_delta: Optional[float],
 ) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
-    """LM loop body that re-assembles via build_local_pieces each iteration
-    (the fused Pallas kernel on TPU) + one residual-only candidate pass."""
+    """LM loop body that re-assembles via the fused Pallas kernel each
+    iteration + one residual-only candidate pass.
+
+    The observation-side kernel inputs are prepared ONCE before the scan and
+    closed over; the scan carries only the mutable state (poses, points, LM
+    bookkeeping) — carrying the full problem pytree re-transposed the
+    constant buffers every iteration (~0.4 ms/iter at the bench shape,
+    benchmarks/breakdown10.py)."""
     dtype = problem.points.dtype
+    kernel_ok = _pallas_assembly_ok(problem, cam, robust_delta)
+    if kernel_ok:
+        from . import assembly_pallas
+
+        statics = dict(
+            fx=float(cam.fx),
+            fy=float(cam.fy),
+            cx=float(cam.cx),
+            cy=float(cam.cy),
+            bf=float(cam.bf),
+            robust_delta=robust_delta,
+        )
+        w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+        prep = assembly_pallas.prepare(
+            problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
+        )
+
+        def _pieces(prob, mu):
+            out = assembly_pallas.assemble_prepared(
+                prob.pose_R, prob.pose_t, prob.points, prep, **statics
+            )
+            return _pieces_tail(
+                prob, out.Hll, out.bl, out.U, out.Hpp, out.bp, out.chi2, mu
+            )
+
+        def _chi2(prob):
+            return assembly_pallas.chi2_prepared(
+                prob.pose_R, prob.pose_t, prob.points, prep, **statics
+            )
+
+    else:  # XLA fallback — same loop structure (used on CPU, e.g. in tests)
+
+        def _pieces(prob, mu):
+            terms = _edge_terms(prob, cam, active, robust_delta)
+            return pieces_from_terms(prob, terms[:5], mu)
+
+        def _chi2(prob):
+            return _edge_terms(prob, cam, active, robust_delta)[4]
 
     def body(carry, _):
-        prob, chi2_prev, mu, nu, n_acc = carry
-        pieces = build_local_pieces(prob, cam, active, robust_delta, mu)
+        pose_R, pose_t, points, chi2_prev, mu, nu, n_acc = carry
+        prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
+        pieces = _pieces(prob, mu)
         chi2 = pieces.chi2  # chi2 at the current linearization point
         rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
         dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
         dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
         dxl = back_substitute(pieces, prob, dxp)
         candidate = _apply_update(prob, dxp, dxl)
-        chi2_c = chi2_only(candidate, cam, active, robust_delta)
+        chi2_c = _chi2(candidate)
         accept, prob_new, mu_new, nu_new = _lm_accept(
             prob, candidate, chi2, chi2_c, dxp, dxl, pieces.bp, pieces.bl, mu, nu
         )
         chi2_new = jnp.where(accept, chi2_c, chi2)
-        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+        new_carry = (
+            prob_new.pose_R,
+            prob_new.pose_t,
+            prob_new.points,
+            chi2_new,
+            mu_new,
+            nu_new,
+            n_acc + accept,
+        )
+        return new_carry, None
 
     init = (
-        problem,
+        problem.pose_R,
+        problem.pose_t,
+        problem.points,
         jnp.asarray(jnp.inf, dtype=dtype),
         jnp.asarray(1e-3, dtype=dtype),
         jnp.asarray(2.0, dtype=dtype),
         jnp.asarray(0, dtype=jnp.int32),
     )
-    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    (pose_R, pose_t, points, chi2, _, _, n_acc), _ = jax.lax.scan(
+        body, init, None, length=num_iters
+    )
+    problem = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
     return problem, chi2, n_acc
 
 
@@ -719,7 +793,8 @@ def ba_iterate_cg(
     mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
 
     def body(carry, _):
-        prob, chi2, mu, nu, n_acc = carry
+        pose_R, pose_t, points, chi2, mu, nu, n_acc = carry
+        prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
         dxp, dxl, _, bp, bl, _ = cg_reduce_and_solve(
             prob, cam, active, robust_delta, mu, cg_iters=cg_iters
         )
@@ -729,10 +804,30 @@ def ba_iterate_cg(
             prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu
         )
         chi2_new = jnp.where(accept, chi2_c, chi2)
-        return (prob_new, chi2_new, mu_new, nu_new, n_acc + accept), None
+        new_carry = (
+            prob_new.pose_R,
+            prob_new.pose_t,
+            prob_new.points,
+            chi2_new,
+            mu_new,
+            nu_new,
+            n_acc + accept,
+        )
+        return new_carry, None
 
-    init = (problem, chi20, mu0, jnp.asarray(2.0, chi20.dtype), jnp.asarray(0, jnp.int32))
-    (problem, chi2, _, _, n_acc), _ = jax.lax.scan(body, init, None, length=num_iters)
+    init = (
+        problem.pose_R,
+        problem.pose_t,
+        problem.points,
+        chi20,
+        mu0,
+        jnp.asarray(2.0, chi20.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    (pose_R, pose_t, points, chi2, _, _, n_acc), _ = jax.lax.scan(
+        body, init, None, length=num_iters
+    )
+    problem = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
     return problem, chi2, n_acc
 
 

@@ -12,15 +12,21 @@ alone is ignored) before any backend is initialized.
 import os
 import sys
 
+# SQRTLM_TEST_TPU=1 keeps the real accelerator visible so the @pytest.mark.tpu
+# tests (compiled Pallas kernel paths) can run on-chip:
+#   SQRTLM_TEST_TPU=1 pytest tests -m tpu
+_USE_TPU = os.environ.get("SQRTLM_TEST_TPU", "") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

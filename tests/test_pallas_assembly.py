@@ -19,20 +19,30 @@ P, L, K = 8, 256, 4
 
 
 def _reference_reductions(prob, cam, active, robust_delta):
+    # HIGHEST: on TPU the default-precision einsums truncate their f32 inputs
+    # to bf16 on the MXU — the *reference* would then be the inaccurate side
+    # of the comparison (found when the tpu-marked test first ran on-chip).
+    hi = jax.lax.Precision.HIGHEST
     r, Jp, Jl, w, chi2, _ = schur_bucketed._edge_terms(
         prob, cam, active, robust_delta
     )
     free = (~prob.pose_fixed)[prob.obs_cam]
     Jp = Jp * free[..., None, None].astype(r.dtype)
-    Hll = jnp.einsum("lkri,lk,lkrj->lij", Jl, w, Jl)
-    bl = jnp.einsum("lkri,lk,lkr->li", Jl, w, r)
-    U = jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jl)
+    Hll = jnp.einsum("lkri,lk,lkrj->lij", Jl, w, Jl, precision=hi)
+    bl = jnp.einsum("lkri,lk,lkr->li", Jl, w, r, precision=hi)
+    U = jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jl, precision=hi)
     O = jax.nn.one_hot(prob.obs_cam, P, dtype=r.dtype).reshape(L * K, P)
     Hpp = jnp.einsum(
-        "ep,ed->pd", O, jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp).reshape(L * K, 36)
+        "ep,ed->pd",
+        O,
+        jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp, precision=hi).reshape(L * K, 36),
+        precision=hi,
     ).reshape(P, 6, 6)
     bp = jnp.einsum(
-        "ep,ei->pi", O, jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6)
+        "ep,ei->pi",
+        O,
+        jnp.einsum("lkri,lk,lkr->lki", Jp, w, r, precision=hi).reshape(L * K, 6),
+        precision=hi,
     )
     return Hll, bl, U, Hpp, bp, chi2
 
@@ -124,7 +134,14 @@ def test_assembly_compiled_tpu_matches_xla():
     flat, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
     prob = schur_bucketed.from_flat(flat, K)
     cam = DEFAULT_CAM
-    ref = _reference_reductions(prob, cam, prob.obs_valid, 2.447)
+    # highest matmul precision end-to-end: the reference path's own einsums
+    # (incl. se3.act inside _edge_terms) otherwise run bf16 on the MXU and
+    # the "reference" becomes the inaccurate side.
+    with jax.default_matmul_precision("highest"):
+        ref = jax.tree.map(
+            lambda x: np.asarray(x),
+            _reference_reductions(prob, cam, prob.obs_valid, 2.447),
+        )
     w_active = prob.obs_inv_sigma2 * prob.obs_valid.astype(jnp.float32)
     out = assembly_pallas.assemble(
         prob.pose_R, prob.pose_t, ~prob.pose_fixed, prob.points,
