@@ -305,10 +305,13 @@ def build_local_pieces(
     return pieces_from_terms(problem, terms[:5], mu)
 
 
-def pieces_from_terms(
-    problem: BucketedBAProblem, terms, mu, y_bf16: Optional[bool] = None
-) -> LocalPieces:
-    """Assemble the reduced system from precomputed edge terms (XLA path)."""
+def reductions_from_terms(problem: BucketedBAProblem, terms):
+    """Mu-independent reductions (Hll, bl, U, Hpp, bp, chi2) from edge terms.
+
+    This is the XLA equivalent of the Pallas assembly kernel's output
+    (optim/assembly_pallas.py::AssemblyOut) — everything the damped step
+    needs that does NOT depend on the LM damping mu, so LM loops can carry
+    it across iterations and re-damp cheaply on rejection."""
     P, L = problem.num_poses, problem.num_points
     K = problem.obs_cam.shape[1]
     r, Jp, Jl, w, chi2 = terms
@@ -337,6 +340,14 @@ def pieces_from_terms(
         Of,
         jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6),
     )
+    return Hll, bl, U, Hpp, bp, chi2
+
+
+def pieces_from_terms(
+    problem: BucketedBAProblem, terms, mu, y_bf16: Optional[bool] = None
+) -> LocalPieces:
+    """Assemble the reduced system from precomputed edge terms (XLA path)."""
+    Hll, bl, U, Hpp, bp, chi2 = reductions_from_terms(problem, terms)
     return _pieces_tail(problem, Hll, bl, U, Hpp, bp, chi2, mu, y_bf16)
 
 
@@ -464,95 +475,27 @@ def ba_iterate(
 ) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
     """Nielsen-damped LM loop (protocol identical to schur.ba_iterate).
 
-    Two equivalent bodies (same algebra, same accept/reject protocol as the
-    reference's problem.cc:92-167 — rejected steps roll back):
+    One loop body, two interchangeable reduction providers (same algebra,
+    same accept/reject protocol as the reference's problem.cc:92-167 —
+    rejected steps roll back):
 
-    * **Pallas path** (TPU, lane-aligned L, static cam/robust_delta): each
-      iteration runs the fused assembly kernel at the current linearization
-      point plus one residual-only chi2 pass for the candidate.
-    * **XLA path**: the scan carries the edge terms (r, Jp, Jl, w) of the
-      current linearization point, so each iteration runs exactly ONE
-      residual+Jacobian pass (for the candidate), reusing it as the next
-      linearization when the step is accepted.
-    """
+    * **Pallas path** (TPU, lane-aligned L, static cam/robust_delta): the
+      fused assembly kernel (optim/assembly_pallas.py), with the
+      loop-constant observation buffers prepared ONCE and closed over.
+    * **XLA path** (CPU / unaligned shapes): residual+Jacobian pass +
+      einsum reductions.
+
+    The scan carries the mu-independent reductions (Hll, bl, U, Hpp, bp,
+    chi2) of the CURRENT linearization point and assembles speculatively at
+    the candidate: exactly ONE reduction pass per iteration — its chi2 is
+    the candidate test, and on acceptance it becomes the next carry. A
+    rejected step only re-damps the carried reductions (mu enters in
+    `_pieces_tail` only). This replaced the earlier assembly+chi2-kernel
+    pair per iteration (saved the separate residual-only kernel pass,
+    ~0.2 ms/iter at the bench shape, benchmarks/breakdown10.py)."""
     if use_pallas is None:
         use_pallas = _pallas_assembly_ok(problem, cam, robust_delta)
     if use_pallas:
-        return _ba_iterate_assembled(problem, cam, active, num_iters, robust_delta)
-    r0, Jp0, Jl0, w0, chi20, _ = _edge_terms(problem, cam, active, robust_delta)
-    mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
-
-    def body(carry, _):
-        pose_R, pose_t, points, terms, mu, nu, n_acc = carry
-        prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
-        r, Jp, Jl, w, chi2 = terms
-        pieces = pieces_from_terms(prob, terms, mu)
-        rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
-        dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
-        dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
-        dxl = back_substitute(pieces, prob, dxp)
-        bp, bl = pieces.bp, pieces.bl
-        candidate = _apply_update(prob, dxp, dxl)
-        r_c, Jp_c, Jl_c, w_c, chi2_c, _ = _edge_terms(
-            candidate, cam, active, robust_delta
-        )
-        accept, prob_new, mu_new, nu_new = _lm_accept(
-            prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu
-        )
-        # Select only the mutable state — the observation arrays are
-        # closed-over constants, kept out of the carry entirely.
-        terms_new = (
-            jnp.where(accept, r_c, r),
-            jnp.where(accept, Jp_c, Jp),
-            jnp.where(accept, Jl_c, Jl),
-            jnp.where(accept, w_c, w),
-            jnp.where(accept, chi2_c, chi2),
-        )
-        new_carry = (
-            prob_new.pose_R,
-            prob_new.pose_t,
-            prob_new.points,
-            terms_new,
-            mu_new,
-            nu_new,
-            n_acc + accept,
-        )
-        return new_carry, None
-
-    init = (
-        problem.pose_R,
-        problem.pose_t,
-        problem.points,
-        (r0, Jp0, Jl0, w0, chi20),
-        mu0,
-        jnp.asarray(2.0, dtype=chi20.dtype),
-        jnp.asarray(0, dtype=jnp.int32),
-    )
-    (pose_R, pose_t, points, terms, _, _, n_acc), _ = jax.lax.scan(
-        body, init, None, length=num_iters
-    )
-    problem = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
-    return problem, terms[4], n_acc
-
-
-def _ba_iterate_assembled(
-    problem: BucketedBAProblem,
-    cam: reproj.Camera,
-    active,
-    num_iters: int,
-    robust_delta: Optional[float],
-) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
-    """LM loop body that re-assembles via the fused Pallas kernel each
-    iteration + one residual-only candidate pass.
-
-    The observation-side kernel inputs are prepared ONCE before the scan and
-    closed over; the scan carries only the mutable state (poses, points, LM
-    bookkeeping) — carrying the full problem pytree re-transposed the
-    constant buffers every iteration (~0.4 ms/iter at the bench shape,
-    benchmarks/breakdown10.py)."""
-    dtype = problem.points.dtype
-    kernel_ok = _pallas_assembly_ok(problem, cam, robust_delta)
-    if kernel_ok:
         from . import assembly_pallas
 
         statics = dict(
@@ -568,48 +511,49 @@ def _ba_iterate_assembled(
             problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
         )
 
-        def _pieces(prob, mu):
+        def reduce_fn(prob):
             out = assembly_pallas.assemble_prepared(
                 prob.pose_R, prob.pose_t, prob.points, prep, **statics
             )
-            return _pieces_tail(
-                prob, out.Hll, out.bl, out.U, out.Hpp, out.bp, out.chi2, mu
-            )
+            return (out.Hll, out.bl, out.U, out.Hpp, out.bp, out.chi2)
 
-        def _chi2(prob):
-            return assembly_pallas.chi2_prepared(
-                prob.pose_R, prob.pose_t, prob.points, prep, **statics
-            )
+    else:
 
-    else:  # XLA fallback — same loop structure (used on CPU, e.g. in tests)
+        def reduce_fn(prob):
+            terms = _edge_terms(prob, cam, active, robust_delta)[:5]
+            return reductions_from_terms(prob, terms)
 
-        def _pieces(prob, mu):
-            terms = _edge_terms(prob, cam, active, robust_delta)
-            return pieces_from_terms(prob, terms[:5], mu)
+    return _ba_iterate_core(problem, reduce_fn, num_iters)
 
-        def _chi2(prob):
-            return _edge_terms(prob, cam, active, robust_delta)[4]
+
+def _ba_iterate_core(
+    problem: BucketedBAProblem, reduce_fn, num_iters: int
+) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
+    """Shared LM scan: carry reductions, assemble once per iteration."""
+    red0 = reduce_fn(problem)
+    dtype = problem.points.dtype
 
     def body(carry, _):
-        pose_R, pose_t, points, chi2_prev, mu, nu, n_acc = carry
+        pose_R, pose_t, points, red, mu, nu, n_acc = carry
         prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
-        pieces = _pieces(prob, mu)
-        chi2 = pieces.chi2  # chi2 at the current linearization point
+        Hll, bl, U, Hpp, bp, chi2 = red
+        pieces = _pieces_tail(prob, Hll, bl, U, Hpp, bp, chi2, mu)
         rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
         dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
         dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
         dxl = back_substitute(pieces, prob, dxp)
         candidate = _apply_update(prob, dxp, dxl)
-        chi2_c = _chi2(candidate)
+        red_c = reduce_fn(candidate)  # speculative: reductions at candidate
+        chi2_c = red_c[5]
         accept, prob_new, mu_new, nu_new = _lm_accept(
-            prob, candidate, chi2, chi2_c, dxp, dxl, pieces.bp, pieces.bl, mu, nu
+            prob, candidate, chi2, chi2_c, dxp, dxl, bp, bl, mu, nu
         )
-        chi2_new = jnp.where(accept, chi2_c, chi2)
+        red_new = jax.tree.map(lambda c, o: jnp.where(accept, c, o), red_c, red)
         new_carry = (
             prob_new.pose_R,
             prob_new.pose_t,
             prob_new.points,
-            chi2_new,
+            red_new,
             mu_new,
             nu_new,
             n_acc + accept,
@@ -620,16 +564,16 @@ def _ba_iterate_assembled(
         problem.pose_R,
         problem.pose_t,
         problem.points,
-        jnp.asarray(jnp.inf, dtype=dtype),
+        red0,
         jnp.asarray(1e-3, dtype=dtype),
         jnp.asarray(2.0, dtype=dtype),
         jnp.asarray(0, dtype=jnp.int32),
     )
-    (pose_R, pose_t, points, chi2, _, _, n_acc), _ = jax.lax.scan(
+    (pose_R, pose_t, points, red, _, _, n_acc), _ = jax.lax.scan(
         body, init, None, length=num_iters
     )
     problem = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
-    return problem, chi2, n_acc
+    return problem, red[5], n_acc
 
 
 # ----------------------------------------------------------------------

@@ -90,24 +90,45 @@ def test_assembly_matches_xla(robust_delta):
         )
 
 
-def test_ba_iterate_assembled_matches_carried():
-    """The re-assembling LM body (the TPU kernel path's loop structure, on
-    the XLA fallback here) must track the carried-terms LM loop: identical
+def test_ba_iterate_kernel_body_matches_xla_body():
+    """The LM loop with the Pallas assembly kernel (interpret mode) as its
+    reduction provider must track the XLA-reductions loop: identical
     protocol, same accepted chi2 trajectory up to f32 reassociation."""
     flat, _ = make_ba_problem(seed=1, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
     prob = schur_bucketed.from_flat(flat, K)
     cam = DEFAULT_CAM
+    delta = 2.447
 
     out_a, chi2_a, acc_a = schur_bucketed.ba_iterate(
-        prob, cam, prob.obs_valid, 8, robust_delta=2.447, use_pallas=False
+        prob, cam, prob.obs_valid, 8, robust_delta=delta, use_pallas=False
     )
-    out_b, chi2_b, acc_b = schur_bucketed._ba_iterate_assembled(
-        prob, cam, prob.obs_valid, 8, robust_delta=2.447
+
+    w_active = prob.obs_inv_sigma2 * prob.obs_valid.astype(jnp.float32)
+    prep = assembly_pallas.prepare(
+        prob.obs_uvr, w_active, ~prob.pose_fixed, prob.obs_cam
     )
-    assert int(acc_a) == int(acc_b)
-    np.testing.assert_allclose(float(chi2_a), float(chi2_b), rtol=1e-3)
+
+    def reduce_fn(p):
+        out = assembly_pallas.assemble_prepared(
+            p.pose_R, p.pose_t, p.points, prep,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+            robust_delta=delta, interpret=True,
+        )
+        return (out.Hll, out.bl, out.U, out.Hpp, out.bp, out.chi2)
+
+    out_b, chi2_b, acc_b = schur_bucketed._ba_iterate_core(prob, reduce_fn, 8)
+    # The kernel's reductions differ from XLA's at f32-reassociation level
+    # (rtol ~5e-3 above); near a marginal accept (gain ratio rho ~ 0) that
+    # can flip one accept and the trajectories diverge slightly — so compare
+    # at convergence level, not bitwise.
+    assert abs(int(acc_a) - int(acc_b)) <= 1
+    chi2_0 = float(
+        schur_bucketed.chi2_only(prob, cam, prob.obs_valid, delta)
+    )
+    assert float(chi2_b) < 0.1 * chi2_0  # converged, not just ran
+    np.testing.assert_allclose(float(chi2_a), float(chi2_b), rtol=5e-2)
     np.testing.assert_allclose(
-        np.asarray(out_a.pose_t), np.asarray(out_b.pose_t), rtol=1e-3, atol=1e-4
+        np.asarray(out_a.pose_t), np.asarray(out_b.pose_t), rtol=5e-2, atol=5e-2
     )
 
 
