@@ -1,10 +1,26 @@
 """Headline benchmark: local-BA LM iterations/second on the Schur engine.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} plus
-auxiliary metrics on stderr. The problem size mirrors the reference's local
-BA regime (~10^2 poses, ~10^4 landmarks, ~10^4+ observation edges,
-/root/reference/src/backend/g2oOptimizer.cc:704-1191; SURVEY.md §3.2 calls
-it the hottest backend loop).
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"} on
+stdout (auxiliary metrics go to stderr). The problem size mirrors the
+reference's local BA regime (~10^2 poses, ~10^4 landmarks, ~10^4+ observation
+edges, /root/reference/src/backend/g2oOptimizer.cc:704-1191; SURVEY.md §3.2
+calls it the hottest backend loop).
+
+Driver-robustness design (round 3, after BENCH_r02 timed out compiling
+cold-cache on the remote TPU):
+  1. The XLA-assembly engine path compiles in seconds — its headline line is
+     printed FIRST, so a number is on stdout almost immediately.
+  2. The Pallas-assembly engine (the production default, ~5x faster) then
+     upgrades the headline with a second line; the driver parses the last
+     JSON line, so the better number wins when it lands.
+  3. An internal watchdog thread (SQRTLM_BENCH_BUDGET_S, default 300 s)
+     guarantees the process exits 0 with the best-known headline re-printed
+     as the final line even if a later phase hangs in a cold compile. (A
+     SIGALRM handler is NOT enough: Python defers signal handlers while the
+     main thread is blocked inside one long native XLA-compile call, which
+     is exactly the failure mode being guarded against.)
+  4. Tracked frames/s (the second BASELINE.md metric) runs last, emitted on
+     stderr — it can never delay or displace the headline.
 
 Baseline: the reference publishes no numbers (BASELINE.md). `BASELINE_ITERS_S`
 is the reference-regime estimate recorded there: g2o local BA at this scale
@@ -15,8 +31,12 @@ vs_baseline = value / 50.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
+
+_T0 = time.perf_counter()
 
 import jax
 from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache
@@ -24,7 +44,7 @@ enable_persistent_cache()
 import jax.numpy as jnp
 
 from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, make_ba_problem
-from sqrtlm_slam_tpu.optim import schur, schur_bucketed
+from sqrtlm_slam_tpu.optim import schur_bucketed
 
 BASELINE_ITERS_S = 50.0
 
@@ -34,38 +54,59 @@ BASELINE_ITERS_S = 50.0
 P, L, OBS_PER_LM = 96, 8192, 5
 ITERS_PER_CALL = 15
 
+_best: float | None = None
 
-def main():
-    flat, _ = make_ba_problem(
-        seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=OBS_PER_LM
+
+def _emit_headline(iters_s: float) -> None:
+    """Print (and remember) the headline metric; the driver parses the LAST
+    JSON line it sees, so each call upgrades the recorded value."""
+    global _best
+    _best = max(iters_s, _best or 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": "local_ba_lm_iters_per_s",
+                "value": round(_best, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(_best / BASELINE_ITERS_S, 2),
+            }
+        ),
+        flush=True,
     )
-    # Landmark-bucketed engine (optim/schur_bucketed.py): same LM protocol,
-    # scatter-free assembly — measured ~4x the flat engine on-chip.
-    problem = schur_bucketed.from_flat(flat, OBS_PER_LM)
+
+
+def _watchdog(budget_s: float):
+    time.sleep(budget_s)
+    if _best is not None:
+        _emit_headline(_best)
+        os._exit(0)
+    print("[bench] budget exhausted before any metric landed", file=sys.stderr)
+    os._exit(1)
+
+
+def _measure_engine(problem, use_pallas: bool) -> float:
+    """Sustained LM iters/s for one engine variant.
+
+    Methodology (recorded since r2, ADVICE r1): the headline metric is
+    SUSTAINED throughput — calls are chained (each solve consumes the
+    previous solution, like consecutive local-BA invocations in the
+    pipeline) and the host syncs ONCE at the end, because the per-dispatch
+    tunnel RTT (~35 ms on axon) otherwise dominates and measures the link,
+    not the chip."""
 
     @jax.jit
     def ba_step(prob):
         out, chi2, acc = schur_bucketed.ba_iterate(
-            prob, DEFAULT_CAM, prob.obs_valid, ITERS_PER_CALL, robust_delta=2.447
+            prob, DEFAULT_CAM, prob.obs_valid, ITERS_PER_CALL,
+            robust_delta=2.447, use_pallas=use_pallas,
         )
         return out, chi2
-
-    chi2_0 = float(
-        jax.jit(lambda p: schur_bucketed.chi2_only(p, DEFAULT_CAM, p.obs_valid, None))(problem)
-    )
 
     # Warm-up (compile). float() forces a host round-trip — on the remote
     # axon platform block_until_ready alone does not synchronize.
     out, chi2 = ba_step(problem)
     float(chi2)
 
-    # Methodology (recorded since r2, ADVICE r1): the headline metric is
-    # SUSTAINED throughput — calls are chained (each solve consumes the
-    # previous solution, like consecutive local-BA invocations in the
-    # pipeline) and the host syncs ONCE at the end, because the per-dispatch
-    # tunnel RTT (~35 ms on axon) otherwise dominates and measures the link,
-    # not the chip. A per-call-synced number (r1-pre-9998d80 methodology) is
-    # also printed on stderr so both series stay comparable.
     n_calls = 5
     t0 = time.perf_counter()
     out = problem
@@ -73,41 +114,81 @@ def main():
         out, chi2 = ba_step(out)
     last = float(chi2)
     dt = time.perf_counter() - t0
+    iters_s = n_calls * ITERS_PER_CALL / dt
+    print(
+        f"[bench] t={time.perf_counter() - _T0:.1f}s "
+        f"engine={'pallas' if use_pallas else 'xla'} "
+        f"device={jax.devices()[0].platform} poses={P} landmarks={L} "
+        f"{n_calls}x{ITERS_PER_CALL} LM iters in {dt:.3f}s chi2 -> {last:.1f}",
+        file=sys.stderr,
+    )
+    return iters_s
 
-    t1 = time.perf_counter()
-    out2, chi2_pc = ba_step(problem)
-    float(chi2_pc)
-    dt_percall = time.perf_counter() - t1
+
+def _bench_tracking(n_frames: int = 24) -> None:
+    """Tracked frames/s (second BASELINE.md metric), stderr only."""
+    import numpy as np
+
+    from sqrtlm_slam_tpu.eval.synthetic import SyntheticWorld, forward_trajectory
+    from sqrtlm_slam_tpu.frontend import orb
+    from sqrtlm_slam_tpu.pipeline.system import SlamSystem, SystemConfig
+
+    world = SyntheticWorld(seed=1, n_points=1200)
+    poses = forward_trajectory(n_frames, step=0.3)
+    frames = [world.render(T, DEFAULT_CAM) for T in poses]
+    s = SlamSystem(DEFAULT_CAM, SystemConfig(orb=orb.ORBConfig(max_features=1000)))
+    warm = min(5, len(frames))
+    for img, depth in frames[:warm]:
+        s.track_depth(img, depth)
+    times = []
+    for img, depth in frames[warm:]:
+        t0 = time.perf_counter()
+        s.track_depth(img, depth)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
     print(
         json.dumps(
             {
-                "metric": "local_ba_lm_iters_per_s_percall_synced",
-                "value": round(ITERS_PER_CALL / dt_percall, 2),
-                "unit": "iters/s",
-                "note": "one dispatch + host sync per call (r1 methodology)",
+                "metric": "tracked_frames_per_s",
+                "value": round(1.0 / med, 2),
+                "unit": "frames/s",
+                "median_ms": round(med * 1e3, 1),
+                "frames": len(times),
             }
         ),
         file=sys.stderr,
+        flush=True,
     )
 
-    iters_s = n_calls * ITERS_PER_CALL / dt
-    edges = int(problem.obs_valid.sum())
-    print(
-        f"[bench] device={jax.devices()[0].platform} poses={P} landmarks={L} "
-        f"edges={edges} {n_calls}x{ITERS_PER_CALL} LM iters in {dt:.3f}s "
-        f"chi2 {chi2_0:.1f} -> {last:.1f}",
-        file=sys.stderr,
+
+def main():
+    budget = float(os.environ.get("SQRTLM_BENCH_BUDGET_S", "300"))
+    threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+
+    flat, _ = make_ba_problem(
+        seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=OBS_PER_LM
     )
-    print(
-        json.dumps(
-            {
-                "metric": "local_ba_lm_iters_per_s",
-                "value": round(iters_s, 2),
-                "unit": "iters/s",
-                "vs_baseline": round(iters_s / BASELINE_ITERS_S, 2),
-            }
-        )
-    )
+    # Landmark-bucketed engine (optim/schur_bucketed.py): same LM protocol,
+    # scatter-free assembly.
+    problem = schur_bucketed.from_flat(flat, OBS_PER_LM)
+
+    # Phase 1: fast-compiling XLA-assembly fallback — lands a number early.
+    _emit_headline(_measure_engine(problem, use_pallas=False))
+
+    # Phase 2: fused Pallas assembly kernel (production default on TPU).
+    try:
+        _emit_headline(_measure_engine(problem, use_pallas=True))
+    except Exception as e:  # Pallas unavailable (CPU) — fallback stands
+        print(f"[bench] pallas path unavailable: {e}", file=sys.stderr)
+
+    # Phase 3: tracked frames/s, stderr only, then re-assert the headline
+    # so it is always the LAST JSON line on any merged-stream tail.
+    if os.environ.get("SQRTLM_BENCH_TRACKING", "1") == "1":
+        try:
+            _bench_tracking()
+        except Exception as e:
+            print(f"[bench] tracking bench failed: {e}", file=sys.stderr)
+        _emit_headline(_best)
 
 
 if __name__ == "__main__":

@@ -1,13 +1,9 @@
-"""Per-piece timing breakdown of the BA iteration at the headline bench shape.
+"""Per-iteration composition of the assembled (Pallas) LM loop at the bench
+shape (P=96, L=8192, K=5) — round-2 re-baseline after the fused kernel landed.
 
-Slope timing (see PERF.md): each piece runs N=LO vs N=HI times inside ONE jit
-via lax.scan with a data dependency between repetitions (prevents hoisting/DCE),
-cost = (t_hi - t_lo) / (HI - LO). Every output is consumed via float().
-
-Run on the real TPU chip:  python benchmarks/breakdown.py
+Slope-timed (N=2 vs N=8 loop reps inside one jit, CSE defeated by an
+epsilon perturbation of the carried state) per PERF.md methodology.
 """
-
-from __future__ import annotations
 
 import os
 import sys
@@ -18,233 +14,188 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM, make_ba_problem
-from sqrtlm_slam_tpu.optim import schur
+from sqrtlm_slam_tpu.optim import schur_bucketed as sb
+from sqrtlm_slam_tpu.optim import assembly_pallas as ap
 
 P, L, K = 96, 8192, 5
-LO, HI = 2, 8
+flat, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=K)
+problem = sb.from_flat(flat, K)
+cam = DEFAULT_CAM
+active = problem.obs_valid
+DELTA = 2.447
+MU = jnp.float32(1e-3)
 
 
-def slope(make_fn, label):
-    fns = {}
-    for n in (LO, HI):
-        fns[n] = jax.jit(make_fn(n))
-        out = fns[n]()
-        jax.block_until_ready(out)
-        float(jnp.sum(out if isinstance(out, jnp.ndarray) else out[0]))
+def slope(make_body, reps=(2, 8), n_timing=4):
+    """make_body() -> (init_carry, body_fn(carry)->carry, consume(carry)->scalar)"""
+    init, body, consume = make_body()
+
+    @jax.jit
+    def run(n, carry):
+        def step(_, c):
+            return body(c)
+
+        return consume(jax.lax.fori_loop(0, n, step, carry))
+
     times = {}
-    for n in (LO, HI):
-        reps = 3
-        best = float("inf")
-        for _ in range(reps):
+    for n in reps:
+        nn = jnp.int32(n)
+        float(run(nn, init))
+        best = 1e9
+        for _ in range(n_timing):
             t0 = time.perf_counter()
-            out = fns[n]()
-            s = float(jnp.sum(out if isinstance(out, jnp.ndarray) else out[0]))
-            t1 = time.perf_counter()
-            best = min(best, t1 - t0)
+            float(run(nn, init))
+            best = min(best, time.perf_counter() - t0)
         times[n] = best
-        del s
-    per = (times[HI] - times[LO]) / (HI - LO)
-    print(f"{label:42s} {per*1e3:9.3f} ms/rep   (t{LO}={times[LO]*1e3:.1f} t{HI}={times[HI]*1e3:.1f})")
-    return per
+    n0, n1 = reps
+    return (times[n1] - times[n0]) / (n1 - n0) * 1e3
 
 
-def main():
-    print("devices:", jax.devices())
-    problem, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=K)
-    problem = jax.device_put(problem)
-    cam = DEFAULT_CAM
-    active = problem.obs_valid
+def perturb(p, s):
+    eps = 1.0 + jnp.sign(s) * 1e-7
+    return p._replace(points=p.points * eps)
 
-    # 1. Full LM iteration (ba_iterate with 1 iter per rep).
-    def mk_full(n):
-        def f():
-            def body(prob, _):
-                out, chi2, _ = schur.ba_iterate(prob, cam, active, 1, robust_delta=2.447)
-                return out, chi2
-            prob, chi2s = jax.lax.scan(body, problem, None, length=n)
-            return chi2s
-        return f
-    slope(mk_full, "full LM iteration")
 
-    # 2. chi2_only pass.
-    def mk_chi2(n):
-        def f():
-            def body(c, _):
-                p2 = problem._replace(pose_t=problem.pose_t + 1e-12 * c)
-                return schur.chi2_only(p2, cam, active, 2.447), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_chi2, "chi2_only (residual pass)")
+def m_full_iter():
+    def body(carry):
+        prob, chi2, mu, nu, acc = carry
+        pieces = sb.build_local_pieces(prob, cam, active, DELTA, mu)
+        rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+        dxp = sb.solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
+        dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
+        dxl = sb.back_substitute(pieces, prob, dxp)
+        cand = sb._apply_update(prob, dxp, dxl)
+        chi2_c = sb.chi2_only(cand, cam, active, DELTA)
+        a, prob_new, mu_new, nu_new = sb._lm_accept(
+            prob, cand, pieces.chi2, chi2_c, dxp, dxl, pieces.bp, pieces.bl, mu, nu
+        )
+        return (prob_new, chi2_c, mu_new, nu_new, acc + a)
 
-    # 3. build_normal_equations.
-    def mk_build(n):
-        def f():
-            def body(c, _):
-                p2 = problem._replace(pose_t=problem.pose_t + 1e-12 * c)
-                Hpp, Hll, W, bp, bl, chi2 = schur.build_normal_equations(p2, cam, active, 2.447)
-                return chi2 + jnp.sum(W[0, 0]) + jnp.sum(Hpp[0, 0]) + bl[0, 0], None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_build, "build_normal_equations (assembly)")
+    init = (problem, jnp.float32(jnp.inf), MU, jnp.float32(2.0), jnp.int32(0))
+    return init, body, lambda c: c[1]
 
-    # Precompute normal equations once for solver pieces.
-    Hpp, Hll, W, bp, bl, _ = jax.jit(
-        lambda p: schur.build_normal_equations(p, cam, active, 2.447)
+
+def m_pieces():
+    def body(carry):
+        prob, s = carry
+        pieces = sb.build_local_pieces(prob, cam, active, DELTA, MU)
+        s2 = pieces.chi2 + jnp.sum(pieces.S_half[:2, :2])
+        return (perturb(prob, s2), s2)
+
+    return (problem, jnp.float32(0.0)), body, lambda c: c[1]
+
+
+def m_assemble():
+    def body(carry):
+        prob, s = carry
+        w_active = prob.obs_inv_sigma2 * active.astype(jnp.float32)
+        out = ap.assemble(
+            prob.pose_R, prob.pose_t, ~prob.pose_fixed, prob.points,
+            prob.obs_cam, prob.obs_uvr, w_active,
+            fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+            cy=float(cam.cy), bf=float(cam.bf), robust_delta=DELTA,
+        )
+        s2 = out.chi2 + jnp.sum(out.bp[:2]) + jnp.sum(out.U[0, 0]) + jnp.sum(out.Hll[0])
+        return (perturb(prob, s2), s2)
+
+    return (problem, jnp.float32(0.0)), body, lambda c: c[1]
+
+
+def m_feed():
+    """Just the XLA-side gathers/transposes that feed the kernel."""
+    def body(carry):
+        prob, s = carry
+        Rg = prob.pose_R[prob.obs_cam]
+        tg = prob.pose_t[prob.obs_cam]
+        rg_t = Rg.reshape(L, K, 9).transpose(2, 1, 0)
+        tg_t = tg.transpose(2, 1, 0)
+        x_t = jnp.broadcast_to(prob.points.T[:, None, :], (3, K, L))
+        uvr_t = prob.obs_uvr.transpose(2, 1, 0)
+        s2 = (
+            jnp.sum(rg_t[:, 0, :2]) + jnp.sum(tg_t[:, 0, :2])
+            + jnp.sum(x_t[:, 0, :2]) + jnp.sum(uvr_t[:, 0, :2]) + s * 0
+        )
+        return (perturb(prob, s2), s2)
+
+    return (problem, jnp.float32(0.0)), body, lambda c: c[1]
+
+
+def m_tail():
+    w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+    out0 = ap.assemble(
+        problem.pose_R, problem.pose_t, ~problem.pose_fixed, problem.points,
+        problem.obs_cam, problem.obs_uvr, w_active,
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+        cy=float(cam.cy), bf=float(cam.bf), robust_delta=DELTA,
+    )
+
+    def body(carry):
+        Hll, bl, U, Hpp, bp, s = carry
+        pieces = sb._pieces_tail(problem, Hll, bl, U, Hpp, bp, jnp.float32(0), MU)
+        s2 = jnp.sum(pieces.S_half[:2, :2]) + pieces.rhs_corr[0]
+        eps = 1.0 + jnp.sign(s2) * 1e-7
+        return (Hll * eps, bl * eps, U * eps, Hpp * eps, bp * eps, s2)
+
+    init = (out0.Hll, out0.bl, out0.U, out0.Hpp, out0.bp, jnp.float32(0.0))
+    return init, body, lambda c: c[5]
+
+
+def m_solve():
+    pieces0 = jax.jit(
+        lambda p: sb.build_local_pieces(p, cam, active, DELTA, MU)
     )(problem)
-    mu = jnp.float32(1e-3)
+    S0 = pieces0.S_half
+    rhs0 = -(pieces0.bp.reshape(-1) - pieces0.rhs_corr)
 
-    # 4. reduce_and_solve.
-    def mk_solve(n):
-        def f():
-            def body(c, _):
-                dxp, dxl = schur.reduce_and_solve(
-                    Hpp + 1e-12 * c, Hll, W, bp, bl,
-                    problem.pose_fixed, problem.point_valid, mu,
-                )
-                return jnp.sum(dxp) + jnp.sum(dxl[0]), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_solve, "reduce_and_solve (total)")
+    def body(carry):
+        S, rhs, s = carry
+        dxp = sb.solve_pose_system(S, rhs, problem.pose_fixed)
+        s2 = jnp.sum(dxp[:2])
+        eps = 1.0 + jnp.sign(s2) * 1e-7
+        return (S * eps, rhs * eps, s2)
 
-    # 5. S_corr einsum pieces.
-    from sqrtlm_slam_tpu.optim.edge_kernels import inv3x3
-    eye3 = jnp.eye(3, dtype=jnp.float32)
-    dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
-    Hll_d = jnp.where(problem.point_valid[:, None, None],
-                      Hll + mu * dll[..., None] * eye3 + 1e-8 * eye3, eye3)
-    Hll_inv = jax.jit(inv3x3)(Hll_d)
+    return (S0, rhs0, jnp.float32(0.0)), body, lambda c: c[2]
 
-    def mk_scorr(n):
-        def f():
-            def body(c, _):
-                Wp = W + 1e-12 * c
-                WHinv = jnp.einsum("alk,lkm->alm", Wp, Hll_inv)
-                S_corr = jnp.einsum("alm,blm->ab", WHinv, Wp)
-                return jnp.sum(S_corr[0]), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_scorr, "  WHinv + S_corr einsums")
 
-    # 6. Cholesky solve of the 576x576 system.
-    S0 = jnp.eye(P * 6) * 10.0 + jax.random.normal(jax.random.PRNGKey(0), (P * 6, P * 6)) * 0.01
-    S0 = S0 @ S0.T
-    rhs0 = jnp.ones((P * 6,))
-
-    def mk_chol(n):
-        def f():
-            def body(c, _):
-                x = jax.scipy.linalg.cho_solve(
-                    jax.scipy.linalg.cho_factor(S0 + 1e-12 * c), rhs0
-                )
-                return jnp.sum(x), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_chol, "  cho_factor+cho_solve 576x576")
-
-    # 7. The dense-W scatter alone (segment_sum into P*L block slots).
-    r, Jp, Jl, w, chi2, _ = jax.jit(
-        lambda p: schur._edge_terms(p, cam, active, 2.447)
+def m_backsub():
+    pieces0 = jax.jit(
+        lambda p: sb.build_local_pieces(p, cam, active, DELTA, MU)
     )(problem)
 
-    def mk_scatter(n):
-        def f():
-            def body(c, _):
-                Wblk = jnp.einsum("eki,e,ekj->eij", Jp + 1e-12 * c, w, Jl)
-                flat_idx = problem.obs_cam * L + problem.obs_pt
-                Wd = jax.ops.segment_sum(Wblk, flat_idx, num_segments=P * L)
-                Wd = Wd.reshape(P, L, 6, 3).transpose(0, 2, 1, 3).reshape(P * 6, L, 3)
-                return jnp.sum(Wd[0]), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_scatter, "  dense-W scatter (segment_sum P*L)")
+    def body(carry):
+        dxp, s = carry
+        dxl = sb.back_substitute(pieces0, problem, dxp)
+        s2 = jnp.sum(dxl[:2])
+        eps = 1.0 + jnp.sign(s2) * 1e-7
+        return (dxp * eps, s2)
 
-    # 8. Edge terms alone (r, Jp, Jl materialized).
-    def mk_edges(n):
-        def f():
-            def body(c, _):
-                p2 = problem._replace(pose_t=problem.pose_t + 1e-12 * c)
-                r, Jp, Jl, w, chi2, _ = schur._edge_terms(p2, cam, active, 2.447)
-                return chi2 + jnp.sum(Jp[0]) + jnp.sum(Jl[0]) + r[0, 0], None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_edges, "  edge terms (r, Jp, Jl)")
-
-    # 9. Hpp/Hll/b segment sums alone.
-    def mk_seg(n):
-        def f():
-            def body(c, _):
-                Jp2 = Jp + 1e-12 * c
-                Hpp_ = jax.ops.segment_sum(
-                    jnp.einsum("eki,e,ekj->eij", Jp2, w, Jp2), problem.obs_cam, num_segments=P)
-                Hll_ = jax.ops.segment_sum(
-                    jnp.einsum("eki,e,ekj->eij", Jl, w, Jl), problem.obs_pt, num_segments=L)
-                bp_ = jax.ops.segment_sum(
-                    jnp.einsum("eki,e,ek->ei", Jp2, w, r), problem.obs_cam, num_segments=P)
-                bl_ = jax.ops.segment_sum(
-                    jnp.einsum("eki,e,ek->ei", Jl, w, r), problem.obs_pt, num_segments=L)
-                return jnp.sum(Hpp_[0]) + jnp.sum(Hll_[0]) + bp_[0, 0] + bl_[0, 0], None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_seg, "  Hpp/Hll/bp/bl segment sums")
+    dxp0 = jnp.zeros((P, 6), jnp.float32) + 1e-4
+    return (dxp0, jnp.float32(0.0)), body, lambda c: c[1]
 
 
-def main_bucketed():
-    from sqrtlm_slam_tpu.optim import schur_bucketed as sb
+def m_chi2():
+    def body(carry):
+        prob, s = carry
+        c = sb.chi2_only(prob, cam, active, DELTA)
+        return (perturb(prob, c), c)
 
-    problem, _ = make_ba_problem(seed=0, P=P, L=L, stereo_frac=0.6, obs_per_landmark=K)
-    bucketed = jax.device_put(sb.from_flat(problem, K))
-    cam = DEFAULT_CAM
-    active = bucketed.obs_valid
-
-    for y_build in ("onehot", "scatter"):
-        sb.Y_BUILD = y_build
-
-        def mk_full(n):
-            def f():
-                def body(prob, _):
-                    out, chi2, _ = sb.ba_iterate(prob, cam, active, 1, robust_delta=2.447)
-                    return out, chi2
-                prob, chi2s = jax.lax.scan(body, bucketed, None, length=n)
-                return chi2s
-            return f
-        slope(mk_full, f"bucketed LM iteration [{y_build}]")
-
-        def mk_step(n):
-            def f():
-                def body(c, _):
-                    p2 = bucketed._replace(pose_t=bucketed.pose_t + 1e-12 * c)
-                    dxp, dxl, chi2, bp, bl = sb.reduce_and_solve(
-                        p2, cam, active, 2.447, jnp.float32(1e-3)
-                    )
-                    return jnp.sum(dxp) + jnp.sum(dxl[0]) + chi2, None
-                c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-                return c
-            return f
-        slope(mk_step, f"  bucketed build+solve [{y_build}]")
-
-    def mk_chi2(n):
-        def f():
-            def body(c, _):
-                p2 = bucketed._replace(pose_t=bucketed.pose_t + 1e-12 * c)
-                return sb.chi2_only(p2, cam, active, 2.447), None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-        return f
-    slope(mk_chi2, "  bucketed chi2_only")
+    return (problem, jnp.float32(0.0)), body, lambda c: c[1]
 
 
-if __name__ == "__main__":
-    import sys as _sys
-    if "--bucketed" in _sys.argv:
-        main_bucketed()
-    else:
-        main()
+print(f"device={jax.devices()[0].platform}, P={P}, L={L}, K={K}")
+for name, m in [
+    ("full LM iteration", m_full_iter),
+    ("build_local_pieces (kernel+tail)", m_pieces),
+    ("  assemble kernel (incl feed)", m_assemble),
+    ("    XLA feed (gathers/transposes)", m_feed),
+    ("  _pieces_tail (V/Y/S/rhs_corr)", m_tail),
+    ("solve_pose_system (576)", m_solve),
+    ("back_substitute", m_backsub),
+    ("chi2_only (kernel incl feed)", m_chi2),
+]:
+    print(f"{name:38s}: {slope(m):7.3f} ms")
