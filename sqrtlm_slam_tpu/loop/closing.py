@@ -6,10 +6,15 @@ TPU-native redesign of `LoopClosing` (/root/reference/src/backend/LoopClosing.cc
   * `ComputeSim3` (:367-626) — per-candidate Sim3 RANSAC (scale fixed for
     stereo/RGBD :433), `optimize_sim3` refinement (>= 20 inliers :513),
     guided reprojection matching, accept at >= 40 total matches;
+  * `ComputeSim3` guided growth — `SearchBySim3` mutual reprojection
+    agreement (ORBmatcher.cc:1448) + `SearchByProjection` of the loop
+    landmark group under the corrected pose (:597), both as batched
+    window-masked Hamming matches;
   * `CorrectLoop` (:627-894) — propagate the corrected Sim3 through the
     current KF's covisibility group AND its landmarks as one batched
-    transform, fuse duplicate landmarks, add the loop edge, run
-    `OptimizeEssentialGraph`, then global BA (:978-1118).
+    transform, `SearchAndFuse` duplicate landmarks (:895-935), add the loop
+    edge + fusion-created LoopConnections, run `OptimizeEssentialGraph`,
+    then global BA (:978-1118).
 
 The reference runs this on a dedicated thread with a keyframe queue and
 stop/abort protocols against LocalMapping/GBA; here the pipeline is
@@ -19,6 +24,8 @@ the loop correction is a pure array transform on the map snapshot.
 
 from __future__ import annotations
 
+import functools
+import threading
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -46,6 +53,108 @@ class LoopClosingConfig(NamedTuple):
     match_cap: int = 512  # fixed capacity of the 3D-3D match buffer
     edge_cap: int = 8192  # essential-graph edge capacity
     run_gba: bool = True
+    loop_points_cap: int = 4096  # mvpLoopMapPoints capacity (LoopClosing.cc:554-580)
+    sim3_search_radius: float = 7.5  # SearchBySim3 window (ORBmatcher.cc:1448)
+    proj_search_radius: float = 10.0  # SearchByProjection th (LoopClosing.cc:597)
+    fuse_radius: float = 4.0  # SearchAndFuse Fuse th (LoopClosing.cc:915)
+    gba_chunk: int = 5  # LM iterations per dispatch between abort checks
+
+
+class LoopMatches(NamedTuple):
+    """Accepted-loop evidence carried from ComputeSim3 to CorrectLoop: the
+    loop-side landmark group (mvpLoopMapPoints) and their matched keypoints
+    in the current KF (mvpCurrentMatchedPoints, LoopClosing.cc:554-605)."""
+
+    loop_lms: np.ndarray  # (M,) landmark ids around the loop KF
+    cur_kp: np.ndarray  # (M,) matched keypoint index in the current KF
+    cur_valid: np.ndarray  # (M,) bool
+    n_total: int  # distinct current-KF keypoints matched to loop landmarks
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _project_match_kernel(
+    cam: Camera,
+    s, R, t,  # Sim3 S_cw of the target keyframe (world -> camera)
+    lm_pos, lm_desc, lm_valid, lm_normal, lm_mind, lm_maxd,
+    kp_xy, kp_desc, kp_octave, kp_valid,
+    radius,
+):
+    """Project world landmarks into one KF and descriptor-match in windows.
+
+    Batched form of `ORBmatcher::SearchByProjection(KF, Scw, ...)` /
+    `ORBmatcher::Fuse(KF, Scw, ...)` (/root/reference/src/frontend/
+    ORBmatcher.cc:1109-1447): depth-range + viewing-angle gates, scale level
+    predicted from distance, per-landmark search radius, Hamming best match.
+    One fused XLA computation per keyframe instead of per-point grid walks.
+    """
+    S = sim3.Sim3(s, R, t)
+    x_c = sim3.act(S, lm_pos)
+    front = x_c[..., 2] > 0.05
+    uv = cam.project(x_c)
+
+    # Camera center in world: solve 0 = s R c + t.
+    center = -(R.T @ t) / jnp.maximum(s, 1e-9)
+    po = lm_pos - center[None, :]
+    dist = jnp.linalg.norm(po, axis=-1)
+    d_ok = (dist >= 0.8 * lm_mind) & (dist <= 1.3 * jnp.minimum(lm_maxd, 1e6))
+    nrm = lm_normal / jnp.maximum(
+        jnp.linalg.norm(lm_normal, axis=-1, keepdims=True), 1e-9
+    )
+    view_ok = jnp.sum(po * nrm, axis=-1) > 0.5 * dist  # < 60 deg view angle
+
+    # Predicted pyramid level from distance (MapPoint::PredictScale).
+    ratio = jnp.maximum(lm_maxd, 1e-6) / jnp.maximum(dist, 1e-6)
+    octv = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)), 0, 7
+    ).astype(jnp.int32)
+    rad = radius * 1.2 ** octv.astype(jnp.float32)
+    window = matching.projection_window_mask(
+        uv, kp_xy, rad, octave_pred=octv, octave_kp=kp_octave, level_slack=1
+    )
+    res = matching.match_descriptors(
+        lm_desc, kp_desc,
+        lm_valid & front & d_ok & view_ok, kp_valid,
+        window_mask=window, max_dist=matching.TH_LOW, mutual=True,
+    )
+    return res.idx, res.valid
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _guided_sim3_kernel(
+    cam: Camera,
+    s, R, t,  # S12: KF2-camera -> KF1-camera
+    x1, v1, desc1, xy1, oct1,
+    x2, v2, desc2, xy2, oct2,
+    radius,
+):
+    """SearchBySim3 (/root/reference/src/frontend/ORBmatcher.cc:1448): grow
+    KF1<->KF2 landmark matches by mutual guided reprojection through S12/S21,
+    keeping only agreements. x1/x2 are keypoint-aligned landmark positions in
+    each KF's own camera frame; both match matrices run as one batched
+    Hamming computation."""
+    S12 = sim3.Sim3(s, R, t)
+    S21 = sim3.inverse(S12)
+    x1_in_2 = sim3.act(S21, x1)
+    x2_in_1 = sim3.act(S12, x2)
+    uv2_pred = cam.project(x1_in_2)  # KF1 points into KF2's image
+    uv1_pred = cam.project(x2_in_1)
+
+    radA = radius * 1.2 ** oct1.astype(jnp.float32)
+    winA = matching.projection_window_mask(uv2_pred, xy2, radA)
+    resA = matching.match_descriptors(
+        desc1, desc2, v1 & (x1_in_2[..., 2] > 0.05), v2,
+        window_mask=winA, max_dist=matching.TH_HIGH, mutual=False,
+    )
+    radB = radius * 1.2 ** oct2.astype(jnp.float32)
+    winB = matching.projection_window_mask(uv1_pred, xy1, radB)
+    resB = matching.match_descriptors(
+        desc2, desc1, v2 & (x2_in_1[..., 2] > 0.05), v1,
+        window_mask=winB, max_dist=matching.TH_HIGH, mutual=False,
+    )
+    # Agreement check ("CheckAgreement", ORBmatcher.cc:1590-1600).
+    iA = jnp.arange(x1.shape[0])
+    agree = resA.valid & resB.valid[resA.idx] & (resB.idx[resA.idx] == iA)
+    return resA.idx, agree
 
 
 class LoopCloser:
@@ -67,7 +176,20 @@ class LoopCloser:
         # Consistency groups: list of (set_of_kfs, consistency_count).
         self.consistent_groups: List = []
         self.num_loops_closed = 0
+        self.last_fused = 0  # landmarks merged by the last SearchAndFuse
+        self.last_reject = None  # (stage, count) of the last ComputeSim3 gate
         self._key = jax.random.PRNGKey(0)
+        # Interruptible-GBA protocol (the reference's mbStopGBA/mnFullBAIdx,
+        # LoopClosing.cc:649-660): CorrectLoop bumps the generation, a
+        # running GBA observes the change between iteration chunks and
+        # abandons its stale result before write-back.
+        self.gba_generation = 0
+        self.map_lock = threading.RLock()  # replaced by the system lock in async mode
+        self.async_gba = False
+        self._gba_thread: Optional[threading.Thread] = None
+        self._gba_tick = lambda: None  # test hook, called between chunks
+        self.num_gba_completed = 0
+        self.num_gba_aborted = 0
 
     # ------------------------------------------------------------------
     # Detection
@@ -82,6 +204,22 @@ class LoopCloser:
                 self.correct_loop(kf, c, S12, matches)
                 return True
         return False
+
+    def _fuse_point(self, lm: int, kf: int, kp: int):
+        """Merge one projected loop landmark into (kf, kp): replace a
+        conflicting landmark by the loop-side one (trusted: it has survived
+        more optimization, LoopClosing.cc:888-935) or add the observation."""
+        store = self.store
+        if not store.lm_valid[lm]:
+            return 0
+        existing = int(store.kf_obs_lm[kf, kp])
+        if existing == lm:
+            return 0
+        if existing >= 0 and store.lm_valid[existing]:
+            store.replace_landmark(existing, lm)
+            return 1
+        store.add_observation(lm, kf, kp)
+        return 0
 
     def detect_loop(self, kf: int) -> List[int]:
         """BoW candidates + covisibility-consistency >= 3 (LoopClosing.cc:152-366)."""
@@ -128,7 +266,13 @@ class LoopCloser:
         w2 = store.kf_words[kf2]
         wmask = None
         if (w1 >= 0).any() and (w2 >= 0).any():
-            wmask = vocab.bow_window_mask(jnp.asarray(w1), jnp.asarray(w2))
+            # Deep vocabularies gate on ancestor nodes (DBoW2 direct-index
+            # level) so the candidate sets keep ~10^3-node granularity.
+            lvl_up = max(0, self.voc.depth - 3) if self.voc is not None else 0
+            k = self.voc.k if self.voc is not None else 10
+            wmask = vocab.bow_window_mask(
+                jnp.asarray(w1), jnp.asarray(w2), levels_up=lvl_up, k=k
+            )
         res = matching.match_descriptors(
             d1, d2, v1, v2, window_mask=wmask,
             max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
@@ -141,58 +285,187 @@ class LoopCloser:
         good = (lm1 >= 0) & (lm2 >= 0) & store.lm_valid[lm1] & store.lm_valid[lm2]
         return sel[good], idx2[good], lm1[good], lm2[good]
 
+    def _kf_se3(self, kf: int) -> se3.SE3:
+        return se3.SE3(
+            jnp.asarray(self.store.kf_R[kf]), jnp.asarray(self.store.kf_t[kf])
+        )
+
+    def _search_by_sim3(self, kf1: int, kf2: int, S12: sim3.Sim3):
+        """Grow kf1<->kf2 landmark matches by guided reprojection through the
+        RANSAC Sim3 (ORBmatcher::SearchBySim3, called at LoopClosing.cc:500).
+        Returns (kp1, kp2, lm1, lm2) agreement pairs."""
+        store, cam = self.store, self.cam
+
+        def kp_points(kf):
+            lms = store.kf_obs_lm[kf]
+            ok = (lms >= 0) & store.kf_kp_valid[kf]
+            ok[ok] &= store.lm_valid[lms[ok]]
+            pos = np.zeros((len(lms), 3), np.float32)
+            pos[ok] = store.lm_pos[lms[ok]]
+            T = self._kf_se3(kf)
+            return np.asarray(se3.act(T, jnp.asarray(pos))), ok
+
+        x1, ok1 = kp_points(kf1)
+        x2, ok2 = kp_points(kf2)
+        idxA, agree = _guided_sim3_kernel(
+            cam, S12.s, S12.R, S12.t,
+            jnp.asarray(x1), jnp.asarray(ok1),
+            jnp.asarray(store.kf_desc[kf1]), jnp.asarray(store.kf_xy[kf1]),
+            jnp.asarray(store.kf_octave[kf1]),
+            jnp.asarray(x2), jnp.asarray(ok2),
+            jnp.asarray(store.kf_desc[kf2]), jnp.asarray(store.kf_xy[kf2]),
+            jnp.asarray(store.kf_octave[kf2]),
+            jnp.float32(self.cfg.sim3_search_radius),
+        )
+        kp1 = np.where(np.asarray(agree))[0]
+        kp2 = np.asarray(idxA)[kp1]
+        return kp1, kp2, store.kf_obs_lm[kf1, kp1], store.kf_obs_lm[kf2, kp2]
+
+    def _loop_point_group(self, kf_loop: int) -> np.ndarray:
+        """mvpLoopMapPoints: landmarks of the loop KF + its covisible group
+        (LoopClosing.cc:554-580), capacity-bounded."""
+        store = self.store
+        group = [kf_loop] + [int(x) for x in store.best_covisible(kf_loop, 10)]
+        lms = np.unique(store.kf_obs_lm[group])
+        lms = lms[lms >= 0]
+        lms = lms[store.lm_valid[lms]]
+        return lms[: self.cfg.loop_points_cap].astype(np.int64)
+
+    def _project_loop_points(
+        self, kf: int, S_cw: sim3.Sim3, loop_lms: np.ndarray, radius: float
+    ):
+        """Match the loop landmark group into keyframe `kf` under pose S_cw.
+        Returns (kp_idx, valid) aligned with loop_lms."""
+        store, cfg, cam = self.store, self.cfg, self.cam
+        cap = cfg.loop_points_cap
+        m = min(len(loop_lms), cap)
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        normal = np.tile(np.array([0, 0, 1], np.float32), (cap, 1))
+        mind = np.zeros(cap, np.float32)
+        maxd = np.full(cap, 1e6, np.float32)
+        valid = np.zeros(cap, bool)
+        pos[:m] = store.lm_pos[loop_lms[:m]]
+        desc[:m] = store.lm_desc[loop_lms[:m]]
+        normal[:m] = store.lm_normal[loop_lms[:m]]
+        mind[:m] = store.lm_min_dist[loop_lms[:m]]
+        maxd[:m] = np.minimum(store.lm_max_dist[loop_lms[:m]], 1e6)
+        valid[:m] = store.lm_valid[loop_lms[:m]]
+        idx, ok = _project_match_kernel(
+            cam, S_cw.s, S_cw.R, S_cw.t,
+            jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
+            jnp.asarray(store.kf_xy[kf]), jnp.asarray(store.kf_desc[kf]),
+            jnp.asarray(store.kf_octave[kf]), jnp.asarray(store.kf_kp_valid[kf]),
+            jnp.float32(radius),
+        )
+        return (
+            np.array(idx[: len(loop_lms)]),
+            np.array(ok[: len(loop_lms)]),
+        )
+
     def compute_sim3(self, kf1: int, kf2: int):
-        """RANSAC + refine S12 between current kf1 and candidate kf2."""
+        """RANSAC + SearchBySim3 growth + refine + guided-projection
+        acceptance for S12 between current kf1 and candidate kf2
+        (ComputeSim3, LoopClosing.cc:367-626)."""
         store, cfg, cam = self.store, self.cfg, self.cam
         kp1, kp2, lm1, lm2 = self._matched_pairs(kf1, kf2)
+        self.last_reject = ("pairs", len(lm1))  # diagnostics for tuning/tests
         if len(lm1) < 10:
-            return False, None, 0
+            return False, None, None
 
         cap = cfg.match_cap
-        n = min(len(lm1), cap)
-        T1 = se3.SE3(jnp.asarray(store.kf_R[kf1]), jnp.asarray(store.kf_t[kf1]))
-        T2 = se3.SE3(jnp.asarray(store.kf_R[kf2]), jnp.asarray(store.kf_t[kf2]))
-        x1 = np.zeros((cap, 3), np.float32)
-        x2 = np.zeros((cap, 3), np.float32)
-        is2_1 = np.ones(cap, np.float32)
-        is2_2 = np.ones(cap, np.float32)
-        valid = np.zeros(cap, bool)
-        x1[:n] = np.asarray(se3.act(T1, jnp.asarray(store.lm_pos[lm1[:n]])))
-        x2[:n] = np.asarray(se3.act(T2, jnp.asarray(store.lm_pos[lm2[:n]])))
-        is2_1[:n] = 1.0 / (1.2 ** (2 * store.kf_octave[kf1, kp1[:n]]))
-        is2_2[:n] = 1.0 / (1.2 ** (2 * store.kf_octave[kf2, kp2[:n]]))
-        valid[:n] = True
+        T1 = self._kf_se3(kf1)
+        T2 = self._kf_se3(kf2)
 
+        def build_buffers(kp1_, kp2_, lm1_, lm2_):
+            n = min(len(lm1_), cap)
+            x1 = np.zeros((cap, 3), np.float32)
+            x2 = np.zeros((cap, 3), np.float32)
+            is2_1 = np.ones(cap, np.float32)
+            is2_2 = np.ones(cap, np.float32)
+            valid = np.zeros(cap, bool)
+            x1[:n] = np.asarray(se3.act(T1, jnp.asarray(store.lm_pos[lm1_[:n]])))
+            x2[:n] = np.asarray(se3.act(T2, jnp.asarray(store.lm_pos[lm2_[:n]])))
+            is2_1[:n] = 1.0 / (1.2 ** (2 * store.kf_octave[kf1, kp1_[:n]]))
+            is2_2[:n] = 1.0 / (1.2 ** (2 * store.kf_octave[kf2, kp2_[:n]]))
+            valid[:n] = True
+            return x1, x2, is2_1, is2_2, valid
+
+        x1, x2, is2_1, is2_2, valid = build_buffers(kp1, kp2, lm1, lm2)
         self._key, sub = jax.random.split(self._key)
         res = sim3_solver.ransac_sim3(
             sub, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
             jnp.asarray(is2_1), jnp.asarray(is2_2), cam,
             fix_scale=cfg.fix_scale,
         )
+        self.last_reject = ("ransac", int(res.num_inliers))
         if int(res.num_inliers) < cfg.min_ransac_inliers:
-            return False, None, 0
+            return False, None, None
+
+        # SearchBySim3 growth: union the BoW matches with guided-agreement
+        # pairs (keyed by current-KF keypoint) before refinement.
+        g_kp1, g_kp2, g_lm1, g_lm2 = self._search_by_sim3(kf1, kf2, res.S12)
+        have = set(kp1.tolist())
+        add = [i for i, k in enumerate(g_kp1) if k not in have]
+        if add:
+            kp1 = np.concatenate([kp1, g_kp1[add]])[:cap]
+            kp2 = np.concatenate([kp2, g_kp2[add]])[:cap]
+            lm1 = np.concatenate([lm1, g_lm1[add]])[:cap]
+            lm2 = np.concatenate([lm2, g_lm2[add]])[:cap]
+            x1, x2, is2_1, is2_2, valid = build_buffers(kp1, kp2, lm1, lm2)
+        kp1, kp2, lm1, lm2 = kp1[:cap], kp2[:cap], lm1[:cap], lm2[:cap]
 
         S12, inl, n_inl = sim3_solver.optimize_sim3(
-            res.S12, jnp.asarray(x1), jnp.asarray(x2), res.inliers,
+            res.S12, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
             jnp.asarray(is2_1), jnp.asarray(is2_2), cam,
             fix_scale=cfg.fix_scale,
         )
         n_inl = int(n_inl)
+        self.last_reject = ("optimize", n_inl)
         if n_inl < cfg.min_ransac_inliers:
-            return False, None, 0
-        # The reference follows with SearchBySim3 guided matching to reach
-        # >= 40 total; with capacity-bounded BoW matching the refined inlier
-        # count plays that role.
-        if n_inl < min(cfg.min_total_matches, max(cfg.min_ransac_inliers, n // 2)):
-            return False, None, 0
-        return True, S12, n_inl
+            return False, None, None
+
+        # Guided projection of the loop-side landmark group into the current
+        # KF under the corrected pose S_cw = S12 ∘ T_loop_w, then the >= 40
+        # total-matches acceptance (LoopClosing.cc:580-626).
+        loop_lms = self._loop_point_group(kf2)
+        S_cw = sim3.compose(S12, sim3.from_se3(T2))
+        proj_kp, proj_ok = self._project_loop_points(
+            kf1, S_cw, loop_lms, cfg.proj_search_radius
+        )
+
+        # Seed with the Sim3-inlier matches (mvpCurrentMatchedPoints is
+        # initialized from them before SearchByProjection fills more).
+        inl_np = np.asarray(inl)[: len(kp1)]
+        lm2_pos = {int(lm2[i]): int(kp1[i]) for i in np.where(inl_np)[0]}
+        lm_index = {int(l): j for j, l in enumerate(loop_lms)}
+        for l, k in lm2_pos.items():
+            j = lm_index.get(l)
+            if j is not None and not proj_ok[j]:
+                proj_kp[j] = k
+                proj_ok[j] = True
+        # Distinct matched keypoints (mutual matching keeps them 1-1; the
+        # seeded entries may collide, count distinct to be exact).
+        n_total = len(set(proj_kp[proj_ok].tolist()))
+        self.last_reject = ("total", n_total)
+        if n_total < cfg.min_total_matches:
+            return False, None, None
+        matches = LoopMatches(
+            loop_lms=loop_lms, cur_kp=proj_kp, cur_valid=proj_ok, n_total=n_total
+        )
+        return True, S12, matches
 
     # ------------------------------------------------------------------
     # Correction
     # ------------------------------------------------------------------
 
-    def correct_loop(self, kf_cur: int, kf_loop: int, S12: sim3.Sim3, n_matches: int):
-        """Propagate the corrected Sim3, optimize the essential graph, GBA.
+    def correct_loop(
+        self, kf_cur: int, kf_loop: int, S12: sim3.Sim3,
+        matches: Optional[LoopMatches] = None,
+    ):
+        """Propagate the corrected Sim3, fuse duplicate landmarks, optimize
+        the essential graph, GBA.
 
         S12 maps kf_loop-camera coords -> kf_cur-camera coords, so the
         corrected current pose is ``S_cur_w = S12 ∘ S_loop_w`` (the loop
@@ -200,6 +473,11 @@ class LoopCloser:
         """
         store, cfg = self.store, self.cfg
         K = store.num_kf
+
+        # Step 0: a newer loop supersedes any in-flight GBA — bumping the
+        # generation makes the stale run abort between chunks (the
+        # reference's mbStopGBA + mnFullBAIdx, LoopClosing.cc:649-660).
+        self.gba_generation += 1
 
         # Pre-correction poses as Sim3 (scale 1).
         s_all = np.ones(K, np.float32)
@@ -254,10 +532,47 @@ class LoopCloser:
             R_all[i] = np.asarray(S.R)
             t_all[i] = np.asarray(S.t)
 
+        # ---- SearchAndFuse: merge duplicate landmarks across the loop ----
+        # Step 3 (LoopClosing.cc:774-800): resolve the precomputed current-KF
+        # matches; Step 4 (:888-935): project the loop landmark group into
+        # every corrected keyframe and fuse. New covisibility edges created
+        # by the fusion become the LoopConnections cross edges.
+        pre_neighbors = {
+            i: set(np.where(store.covis[i] > 0)[0].tolist()) for i in group
+        }
+        self.last_fused = 0
+        if matches is not None:
+            for j in np.where(matches.cur_valid)[0]:
+                self.last_fused += self._fuse_point(
+                    int(matches.loop_lms[j]), kf_cur, int(matches.cur_kp[j])
+                )
+            loop_lms = matches.loop_lms
+        else:
+            loop_lms = self._loop_point_group(kf_loop)
+        for i in group:
+            proj_kp, proj_ok = self._project_loop_points(
+                i, corrected[i], loop_lms, cfg.fuse_radius
+            )
+            for j in np.where(proj_ok)[0]:
+                self.last_fused += self._fuse_point(
+                    int(loop_lms[j]), i, int(proj_kp[j])
+                )
+        # Step 5: refresh covisibility; the new cross-loop connections get
+        # essential-graph edges measured from the CORRECTED poses (the
+        # reference's LoopConnections, measured from vertex estimates).
+        for i in group:
+            store.update_connections(i)
+        loop_connections = []
+        group_set = set(group)
+        for i in group:
+            now = set(np.where(store.covis[i] > 0)[0].tolist())
+            for j in now - pre_neighbors[i] - group_set:
+                loop_connections.append((i, int(j)))
+
         # ---- essential graph over all keyframes ----
         problem = self._build_pose_graph(
             kf_cur, kf_loop, S12, s_all, R_all, t_all,
-            s_meas, R_meas, t_meas,
+            s_meas, R_meas, t_meas, loop_connections,
         )
         out, _ = essential_graph.optimize_pose_graph(
             problem, num_iters=cfg.essential_iters
@@ -270,43 +585,72 @@ class LoopCloser:
 
         # ---- global BA (RunGlobalBundleAdjustment, :978-1118) ----
         if cfg.run_gba:
-            self.run_global_ba()
+            gen = self.gba_generation
+            if self.async_gba:
+                self._gba_thread = threading.Thread(
+                    target=self.run_global_ba, args=(gen,), daemon=True
+                )
+                self._gba_thread.start()
+            else:
+                self.run_global_ba(gen)
 
     def _build_pose_graph(self, kf_cur, kf_loop, S12, s_all, R_all, t_all,
-                          s_meas, R_meas, t_meas):
+                          s_meas, R_meas, t_meas, loop_connections=()):
         """Edges: spanning tree + previous loop edges + strong covis + the
-        new loop edge. Measurements come from the PRE-correction snapshot
-        (s/R/t_meas); initial values from the corrected poses (s/R/t_all)."""
+        new loop edge + fusion-created LoopConnections. Chain-edge
+        measurements come from the PRE-correction snapshot (s/R/t_meas);
+        LoopConnections are measured from the corrected poses (s/R/t_all),
+        matching OptimizeEssentialGraph's NonCorrectedSim3/vertex-estimate
+        split (g2oOptimizer.cc:1212-1380). Initial values are the corrected
+        poses."""
         store, cfg = self.store, self.cfg
         K = store.num_kf
         E = cfg.edge_cap
 
         e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
 
-        def add_edge(i, j, S_ji=None):
+        def relative(i, j, s, R, t):
+            S_i = sim3.Sim3(jnp.asarray(s[i]), jnp.asarray(R[i]), jnp.asarray(t[i]))
+            S_j = sim3.Sim3(jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j]))
+            return sim3.compose(S_j, sim3.inverse(S_i))
+
+        def add_edge(i, j, S_ji=None, corrected_meas=False):
             if len(e_i) >= E or i < 0 or j < 0 or i == j:
                 return
             if S_ji is None:
-                S_i = sim3.Sim3(jnp.asarray(s_meas[i]), jnp.asarray(R_meas[i]), jnp.asarray(t_meas[i]))
-                S_j = sim3.Sim3(jnp.asarray(s_meas[j]), jnp.asarray(R_meas[j]), jnp.asarray(t_meas[j]))
-                S_ji = sim3.compose(S_j, sim3.inverse(S_i))
+                if corrected_meas:
+                    S_ji = relative(i, j, s_all, R_all, t_all)
+                else:
+                    S_ji = relative(i, j, s_meas, R_meas, t_meas)
             e_i.append(i)
             e_j.append(j)
             e_s.append(float(S_ji.s))
             e_R.append(np.asarray(S_ji.R))
             e_t.append(np.asarray(S_ji.t))
 
+        seen = set()
+
+        def mark(i, j):
+            seen.add((min(i, j), max(i, j)))
+
         # New loop edge: S12 maps loop->cur, i.e. S_cur_loop.
         add_edge(kf_loop, kf_cur, S12)
+        mark(kf_loop, kf_cur)
+        for (i, j) in loop_connections:
+            pair = (min(i, j), max(i, j))
+            if pair not in seen:
+                seen.add(pair)
+                add_edge(i, j, corrected_meas=True)
         for (a, b) in store.loop_edges:
-            if a < K and b < K:
+            if a < K and b < K and (min(a, b), max(a, b)) not in seen:
+                mark(a, b)
                 add_edge(b, a)
-        seen = set()
         for k in range(K):
             if not store.kf_valid[k]:
                 continue
             p = store.parent[k]
-            if p >= 0 and store.kf_valid[p]:
+            if p >= 0 and store.kf_valid[p] and (min(int(p), k), max(int(p), k)) not in seen:
+                mark(int(p), k)
                 add_edge(int(p), k)
             for c in store.covisible_above(k, cfg.covis_edge_weight):
                 pair = (min(k, int(c)), max(k, int(c)))
@@ -378,13 +722,94 @@ class LoopCloser:
     # Global BA
     # ------------------------------------------------------------------
 
-    def run_global_ba(self):
-        """Full-map BA via the matrix-free PCG Schur engine (bucketed)."""
-        problem, meta = gather_global_problem_bucketed(self.store)
-        out, survivors, _ = schur_bucketed.global_ba_cg(
-            problem, self.cam, num_iters=self.cfg.gba_iters
-        )
-        write_back_global_bucketed(self.store, out, survivors, meta)
+    def run_global_ba(self, generation: Optional[int] = None) -> bool:
+        """Interruptible full-map BA via the matrix-free PCG Schur engine.
+
+        RunGlobalBundleAdjustment (LoopClosing.cc:978-1118) redesigned for
+        the dispatch model: instead of a per-edge forceStopFlag, the LM/PCG
+        iterations run in chunks of `gba_chunk` dispatches and the loop
+        generation counter is re-checked between them — a newer CorrectLoop
+        bumps it and the stale run returns False without touching the map.
+        On completion, keyframes created while GBA ran (async mode) are
+        corrected through the spanning tree and late landmarks through
+        their reference KF (:1058-1107). Returns True iff written back."""
+        cfg = self.cfg
+        if generation is None:
+            generation = self.gba_generation
+        with self.map_lock:
+            snap_kf = self.store.num_kf
+            snap_lm = self.store.num_lm
+            pre_R = self.store.kf_R[:snap_kf].copy()
+            pre_t = self.store.kf_t[:snap_kf].copy()
+            problem, meta = gather_global_problem_bucketed(self.store)
+
+        survivors = None
+        done = 0
+        while done < cfg.gba_iters:
+            if self.gba_generation != generation:
+                self.num_gba_aborted += 1
+                return False
+            n = min(max(cfg.gba_chunk, 1), cfg.gba_iters - done)
+            problem, survivors, _ = schur_bucketed.global_ba_cg(
+                problem, self.cam, num_iters=n
+            )
+            done += n
+            self._gba_tick()
+
+        with self.map_lock:
+            # Re-check INSIDE the lock: a CorrectLoop holding it may have
+            # superseded this run while we waited to acquire.
+            if self.gba_generation != generation:
+                self.num_gba_aborted += 1
+                return False
+            write_back_global_bucketed(self.store, problem, survivors, meta)
+            self._propagate_to_new_kfs(snap_kf, snap_lm, pre_R, pre_t)
+        self.num_gba_completed += 1
+        return True
+
+    def wait_gba(self):
+        """Join an async GBA thread (System::Shutdown discipline)."""
+        t = self._gba_thread
+        if t is not None:
+            t.join()
+
+    def _propagate_to_new_kfs(
+        self, snap_kf: int, snap_lm: int, pre_R: np.ndarray, pre_t: np.ndarray
+    ):
+        """Correct keyframes/landmarks created during GBA via the spanning
+        tree (LoopClosing.cc:1058-1107): T_k' = (T_k T_p^-1)_preGBA ∘ T_p',
+        landmarks via their reference keyframe's correction."""
+        store = self.store
+        if store.num_kf == snap_kf and store.num_lm == snap_lm:
+            return
+        # Old (pre-write-back) poses: snapshot rows from pre_R/pre_t; rows
+        # created during GBA keep their current (uncorrected) pose.
+        old_R = np.concatenate([pre_R, store.kf_R[snap_kf:store.num_kf]], axis=0)
+        old_t = np.concatenate([pre_t, store.kf_t[snap_kf:store.num_kf]], axis=0)
+        for k in range(snap_kf, store.num_kf):
+            if not store.kf_valid[k]:
+                continue
+            p = int(store.parent[k])
+            if p < 0:
+                continue
+            # Parents are older, so by ascending order p is already corrected.
+            R_rel = old_R[k] @ old_R[p].T
+            t_rel = old_t[k] - R_rel @ old_t[p]
+            store.set_kf_pose(
+                k, R_rel @ store.kf_R[p], R_rel @ store.kf_t[p] + t_rel
+            )
+        # Late landmarks move with their reference KF: p' = T'^-1 (T_old p).
+        refs = store.lm_first_kf[snap_lm:store.num_lm]
+        sel = np.where(store.lm_valid[snap_lm:store.num_lm] & (refs >= 0))[0]
+        if len(sel):
+            r = refs[sel]
+            p = store.lm_pos[snap_lm + sel]
+            p_cam = np.einsum("kij,kj->ki", old_R[r], p) + old_t[r]
+            Rn = store.kf_R[r]
+            tn = store.kf_t[r]
+            store.lm_pos[snap_lm + sel] = np.einsum(
+                "kji,kj->ki", Rn, p_cam - tn
+            )
 
 
 # ----------------------------------------------------------------------

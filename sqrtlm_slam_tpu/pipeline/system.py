@@ -39,6 +39,7 @@ class SystemConfig(NamedTuple):
     max_landmarks: int = 60000
     loop_detection: bool = False  # SLAM.LoopDetection flag (fusionsystem.cc:9)
     lidar: Optional[object] = None  # lidar.features.LidarConfig for fusion
+    use_shipped_vocab: bool = True  # load assets/orbvoc_*.npz when no vocab given
     # Run local mapping + loop closing on a background worker thread,
     # overlapping them with tracking — the reference's 3-pthread pipeline
     # (System.cc:139-154, SURVEY §2.10 P1). Off by default: the sequential
@@ -57,6 +58,11 @@ class SlamSystem:
     ):
         self.cam = cam
         self.cfg = cfg
+        if vocabulary is None and cfg.use_shipped_vocab:
+            # The committed synthetic-domain vocabulary asset (the
+            # counterpart of the reference's ORBvoc load, System.cc:109);
+            # falls back to lazy on-the-fly training when absent.
+            vocabulary = vocab_mod.load_default()
         self.vocabulary = vocabulary
         self.store = MapStore(
             max_keyframes=cfg.max_keyframes,
@@ -94,6 +100,12 @@ class SlamSystem:
 
             self.map_lock = threading.RLock()
             self.tracker.map_lock = self.map_lock
+            if self.loop_closer is not None:
+                # Async mode: GBA runs on its own thread under the shared
+                # map lock and is abortable by a newer loop (the reference's
+                # LoopClosing GBA thread + mbStopGBA, LoopClosing.cc:649-660).
+                self.loop_closer.map_lock = self.map_lock
+                self.loop_closer.async_gba = True
             self._kf_queue = queue.Queue()
             self._worker = threading.Thread(
                 target=self._mapping_worker, daemon=True
@@ -118,6 +130,8 @@ class SlamSystem:
         otherwise) — call before reading trajectories/maps for evaluation."""
         if self._kf_queue is not None:
             self._kf_queue.join()
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
 
     def shutdown(self):
         """System::Shutdown (System.cc:346-360): drain + stop the worker."""
@@ -126,6 +140,8 @@ class SlamSystem:
             self._kf_queue.put(None)
             self._worker.join()
             self._shutdown = True
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
 
     def _assign_words(self, desc, valid):
         """Word ids + BoW vector for a new keyframe; trains a vocabulary

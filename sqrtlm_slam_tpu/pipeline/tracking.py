@@ -11,7 +11,8 @@ TPU-native redesign of `Tracking` (/root/reference/src/frontend/Tracking.cc):
     second pose optimization, inlier gate >= 30 (>= 50 after reloc).
   * `NeedNewKeyFrame`/`CreateNewKeyFrame` (:1683-1953) with the close-point
     rule (tracked close < 125 && non-tracked close > 70 -> need KF :1747).
-  * Relocalization (:2334-2554) is handled in pipeline/reloc.py.
+  * Relocalization (:2334-2554) — `Tracker._relocalize` below: BoW
+    candidate search, PnP RANSAC bank, pose optimization.
 
 The device side is two fused stages (match+optimize each); the host side is
 only the decision logic. Local-map gathering is a numpy scatter from the
