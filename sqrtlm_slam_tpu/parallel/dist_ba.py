@@ -366,6 +366,154 @@ def make_bucketed_ba_step(
     return step
 
 
+def make_bucketed_lm_iterate(
+    mesh: Mesh, cam: Camera, axis: str = "ba", num_iters: int = 15,
+    robust_delta: float | None = None, mu0: float = 1e-3,
+):
+    """Jitted distributed Nielsen-LM loop over the mesh.
+
+    The distributed twin of `schur_bucketed.ba_iterate`: the FULL
+    accept/reject Levenberg-Marquardt protocol (Nielsen mu/nu adaptation,
+    candidate chi2 evaluation, rollback on reject — mybackend
+    `Problem::Solve`, /root/reference/src/backend/mybackend/problem.cc) runs
+    INSIDE the shard_map as one `lax.scan`: per iteration, one fused psum of
+    the reduced camera system + one psum'd candidate chi2. All LM scalars
+    (mu, nu, rho) are computed from psum'd quantities, so every device takes
+    identical branches — no host round-trips anywhere in the loop.
+    """
+
+    def device_fn(pose_R, pose_t, pose_fixed, points, point_valid,
+                  obs_cam, obs_uvr, obs_is2, obs_valid):
+        (points, point_valid, obs_cam, obs_uvr, obs_is2, obs_valid) = (
+            x[0] for x in (points, point_valid, obs_cam, obs_uvr, obs_is2, obs_valid)
+        )
+
+        def local_problem(pR, pt, pts):
+            return schur_bucketed.BucketedBAProblem(
+                pose_R=pR, pose_t=pt, pose_fixed=pose_fixed,
+                pose_valid=jnp.ones(pR.shape[0], bool),
+                points=pts, point_valid=point_valid,
+                obs_cam=obs_cam, obs_uvr=obs_uvr,
+                obs_inv_sigma2=obs_is2, obs_valid=obs_valid,
+            )
+
+        def global_chi2(pR, pt, pts):
+            return jax.lax.psum(
+                schur_bucketed.chi2_only(
+                    local_problem(pR, pt, pts), cam, obs_valid, robust_delta
+                ),
+                axis,
+            )
+
+        chi20 = global_chi2(pose_R, pose_t, points)
+
+        def body(carry, _):
+            pR, pt, pts, chi2, mu, nu, n_acc = carry
+            local = local_problem(pR, pt, pts)
+            pieces = schur_bucketed.build_local_pieces(
+                local, cam, obs_valid, robust_delta, mu
+            )
+            S, bp, rhs_corr = jax.lax.psum(
+                (pieces.S_half, pieces.bp, pieces.rhs_corr), axis
+            )
+            rhs = -(bp.reshape(-1) - rhs_corr)
+            dxp = schur_bucketed.solve_pose_system(S, rhs, pose_fixed)
+            dxp = jnp.where(pose_fixed[:, None], 0.0, dxp)
+            dxl = schur_bucketed.back_substitute(pieces, local, dxp)
+            dxl = jnp.where(point_valid[:, None], dxl, 0.0)
+
+            new_pose = se3.retract(se3.SE3(pR, pt), dxp)
+            free = (~pose_fixed)[:, None]
+            cand_R = jnp.where(free[..., None], new_pose.R, pR)
+            cand_t = jnp.where(free, new_pose.t, pt)
+            cand_pts = pts + dxl
+            chi2_c = global_chi2(cand_R, cand_t, cand_pts)
+
+            # Nielsen gain ratio: pose term is replicated (bp is already the
+            # global gradient), landmark term sums across shards.
+            t_pose = jnp.sum(dxp * (mu * dxp - bp))
+            t_lm = jax.lax.psum(jnp.sum(dxl * (mu * dxl - pieces.bl)), axis)
+            predicted = 0.5 * (t_pose + t_lm)
+            rho = (chi2 - chi2_c) / jnp.maximum(predicted, 1e-12)
+            accept = (rho > 0) & jnp.isfinite(chi2_c)
+
+            pR = jnp.where(accept, cand_R, pR)
+            pt = jnp.where(accept, cand_t, pt)
+            pts = jnp.where(accept, cand_pts, pts)
+            chi2 = jnp.where(accept, chi2_c, chi2)
+            factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            mu = jnp.where(accept, mu * factor, mu * nu)
+            nu = jnp.where(accept, 2.0, nu * 2.0)
+            return (pR, pt, pts, chi2, mu, nu, n_acc + accept), None
+
+        init = (
+            pose_R, pose_t, points, chi20,
+            jnp.asarray(mu0, chi20.dtype),
+            jnp.asarray(2.0, chi20.dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        (pR, pt, pts, chi2, _, _, n_acc), _ = jax.lax.scan(
+            body, init, None, length=num_iters
+        )
+        return pR, pt, pts[None], chi2, n_acc
+
+    spec_rep = P()
+    spec_shard = P(axis)
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep,
+                  spec_shard, spec_shard, spec_shard,
+                  spec_shard, spec_shard, spec_shard),
+        out_specs=(spec_rep, spec_rep, spec_shard, spec_rep, spec_rep),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def iterate(sp: ShardedBucketedBA):
+        pose_R, pose_t, points, chi2, n_acc = fn(
+            sp.pose_R, sp.pose_t, sp.pose_fixed,
+            sp.points, sp.point_valid,
+            sp.obs_cam, sp.obs_uvr, sp.obs_inv_sigma2, sp.obs_valid,
+        )
+        return (
+            sp._replace(pose_R=pose_R, pose_t=pose_t, points=points),
+            chi2,
+            n_acc,
+        )
+
+    return iterate
+
+
+def distributed_ba_lm(
+    b: schur_bucketed.BucketedBAProblem,
+    cam: Camera,
+    mesh: Mesh,
+    num_iters: int = 15,
+    robust_delta: float | None = None,
+) -> Tuple[schur_bucketed.BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
+    """Production distributed BA: partition, run the full Nielsen-LM loop in
+    ONE dispatch, gather back. Returns (problem, chi2, n_accepted)."""
+    n_shards = mesh.devices.size
+    sharded, lm_ids = partition_bucketed(b, n_shards)
+    iterate = make_bucketed_lm_iterate(
+        mesh, cam, axis=mesh.axis_names[0], num_iters=num_iters,
+        robust_delta=robust_delta,
+    )
+    sharded, chi2, n_acc = iterate(sharded)
+
+    pts = np.asarray(b.points).copy()
+    shard_pts = np.asarray(sharded.points)
+    for d in range(n_shards):
+        ids = lm_ids[d]
+        sel = ids >= 0
+        pts[ids[sel]] = shard_pts[d, sel]
+    out = b._replace(
+        pose_R=sharded.pose_R, pose_t=sharded.pose_t, points=jnp.asarray(pts)
+    )
+    return out, chi2, n_acc
+
+
 def distributed_ba_bucketed(
     b: schur_bucketed.BucketedBAProblem,
     cam: Camera,

@@ -111,3 +111,41 @@ class TestBucketedDistributedBA:
         assert float(chi2) < chi0 * 0.1
         err = se3.local_delta(out.poses(), poses_true)
         assert float(jnp.max(jnp.linalg.norm(err[:, :3], axis=-1))) < 0.05
+
+
+class TestDistributedNielsenLM:
+    """The full accept/reject LM loop inside the mesh (round-3 upgrade:
+    dist BA previously ran fixed-mu GN steps only)."""
+
+    def test_matches_single_device_lm(self, mesh):
+        from sqrtlm_slam_tpu.optim import schur_bucketed as sb
+
+        problem, _, _ = make_ba_scene(KEY, P=5, L=48, noise=0.4)
+        b = sb.from_flat(problem, K=5)
+        ref, chi2_ref, acc_ref = sb.ba_iterate(
+            b, CAM, b.obs_valid, 6, robust_delta=None
+        )
+        out, chi2, acc = dist_ba.distributed_ba_lm(b, CAM, mesh, num_iters=6)
+        # Same protocol (mu0, Nielsen updates, rollback). psum reassociation
+        # and the per-shard diagonal floor can flip ONE marginal accept, so
+        # allow that while requiring matching convergence quality.
+        assert abs(int(acc) - int(acc_ref)) <= 1
+        np.testing.assert_allclose(float(chi2), float(chi2_ref), rtol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(out.pose_t), np.asarray(ref.pose_t), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.points), np.asarray(ref.points), atol=2e-2
+        )
+
+    def test_rejects_then_recovers(self, mesh):
+        """A hard problem (large noise) must show the LM loop actually
+        rejecting steps (nu growth) yet still reducing chi2."""
+        from sqrtlm_slam_tpu.optim import schur_bucketed as sb
+
+        problem, _, _ = make_ba_scene(KEY, P=5, L=48, noise=1.5)
+        b = sb.from_flat(problem, K=5)
+        chi0 = float(sb.chi2_only(b, CAM, b.obs_valid, None))
+        out, chi2, acc = dist_ba.distributed_ba_lm(b, CAM, mesh, num_iters=10)
+        assert float(chi2) <= chi0
+        assert 0 < int(acc) <= 10
