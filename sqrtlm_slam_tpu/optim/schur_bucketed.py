@@ -26,6 +26,7 @@ its "SqrtLM" name (edge.h:95-99), applied blockwise.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -587,6 +588,44 @@ def _ba_iterate_core(
 # ----------------------------------------------------------------------
 
 
+# Pose-side accumulation memory cap: above this many one-hot elements the
+# (L*K, P) indicator is built in chunks inside a lax.scan instead of being
+# materialized (at KITTI-00 scale — P≈10^3, L≈10^5 — the full one-hot would
+# be gigabytes of HBM read per CG matvec).
+_ONE_HOT_BUDGET = 1 << 26  # elements (~256 MB f32)
+
+
+def _pose_accumulate(obs_cam: jnp.ndarray, X: jnp.ndarray, P: int) -> jnp.ndarray:
+    """sum over edges e of X[e] into their pose rows: (L, K, D) -> (P, D).
+
+    MXU-friendly one-hot matmul, chunked over landmarks when the full
+    indicator would exceed the memory budget — the whole-map-scale version
+    of `_build_Y`'s scatter-free reduction."""
+    L, K = obs_cam.shape
+    D = X.shape[-1]
+    E = L * K
+    oc = obs_cam.reshape(E)
+    Xf = X.reshape(E, D)
+    if E * P <= _ONE_HOT_BUDGET:
+        O = jax.nn.one_hot(oc, P, dtype=X.dtype)
+        return jnp.einsum("ep,ed->pd", O, Xf)
+    chunk = max(_ONE_HOT_BUDGET // (P * K), 128) * K  # edge-chunk, K-aligned
+    nb = -(-E // chunk)
+    pad = nb * chunk - E
+    oc = jnp.pad(oc, (0, pad))  # padded edges point at pose 0 ...
+    Xf = jnp.pad(Xf, ((0, pad), (0, 0)))  # ... with zero contribution
+    oc = oc.reshape(nb, chunk)
+    Xf = Xf.reshape(nb, chunk, D)
+
+    def body(acc, inp):
+        oc_b, X_b = inp
+        O_b = jax.nn.one_hot(oc_b, P, dtype=X.dtype)
+        return acc + jnp.einsum("ep,ed->pd", O_b, X_b), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((P, D), X.dtype), (oc, Xf))
+    return acc
+
+
 def _cg_context(problem: BucketedBAProblem, cam, active, robust_delta, mu):
     """Precompute per-iteration quantities for the matrix-free solve."""
     P, L = problem.num_poses, problem.num_points
@@ -601,16 +640,15 @@ def _cg_context(problem: BucketedBAProblem, cam, active, robust_delta, mu):
     Hll = jnp.einsum("lkri,lk,lkrj->lij", Jl, w, Jl)
     bl = jnp.einsum("lkri,lk,lkr->li", Jl, w, r)
     U = jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jl)
-    O = jax.nn.one_hot(problem.obs_cam, P, dtype=dtype)  # (L, K, P)
-    Hpp = jnp.einsum(
-        "ep,ed->pd",
-        O.reshape(L * K, P),
-        jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp).reshape(L * K, 36),
+    Hpp = _pose_accumulate(
+        problem.obs_cam,
+        jnp.einsum("lkri,lk,lkrj->lkij", Jp, w, Jp).reshape(L, K, 36),
+        P,
     ).reshape(P, 6, 6)
-    bp = jnp.einsum(
-        "ep,ei->pi",
-        O.reshape(L * K, P),
-        jnp.einsum("lkri,lk,lkr->lki", Jp, w, r).reshape(L * K, 6),
+    bp = _pose_accumulate(
+        problem.obs_cam,
+        jnp.einsum("lkri,lk,lkr->lki", Jp, w, r),
+        P,
     )
 
     dll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
@@ -619,7 +657,7 @@ def _cg_context(problem: BucketedBAProblem, cam, active, robust_delta, mu):
     Minv = trinv_lower3x3(chol3x3(Hll_d))  # Lc^{-1}
     dpp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     Hpp_d = Hpp + mu * dpp[..., None] * eye6 + 1e-8 * eye6
-    return r, U, Minv, O, Hpp_d, bp, bl, chi2
+    return r, U, Minv, Hpp_d, bp, bl, chi2
 
 
 def _apply_Ainv(Minv, x):
@@ -627,15 +665,15 @@ def _apply_Ainv(Minv, x):
     return jnp.einsum("lji,ljk,lk->li", Minv, Minv, x)
 
 
-def _schur_matvec(v, U, Minv, O, Hpp_d, obs_cam, pose_fixed):
-    """S @ v for v (P, 6), matrix-free: two K-reductions + one one-hot matmul."""
+def _schur_matvec(v, U, Minv, Hpp_d, obs_cam, pose_fixed):
+    """S @ v for v (P, 6), matrix-free: two K-reductions + one (chunked)
+    one-hot accumulation."""
     P = Hpp_d.shape[0]
-    L, K = U.shape[:2]
     v = jnp.where(pose_fixed[:, None], 0.0, v)
     Wt_v = jnp.einsum("lkij,lki->lj", U, v[obs_cam])  # (L, 3)
     y = _apply_Ainv(Minv, Wt_v)  # (L, 3)
     Uy = jnp.einsum("lkij,lj->lki", U, y)  # (L, K, 6)
-    Wy = jnp.einsum("ep,ei->pi", O.reshape(L * K, P), Uy.reshape(L * K, 6))
+    Wy = _pose_accumulate(obs_cam, Uy, P)
     Sv = jnp.einsum("pij,pj->pi", Hpp_d, v) - Wy
     return jnp.where(pose_fixed[:, None], v, Sv)
 
@@ -677,7 +715,7 @@ def cg_reduce_and_solve(
 
     Returns (dxp (P,6), dxl (L,3), chi2, bp, bl, cg_n)."""
     P, L = problem.num_poses, problem.num_points
-    r, U, Minv, O, Hpp_d, bp, bl, chi2 = _cg_context(
+    r, U, Minv, Hpp_d, bp, bl, chi2 = _cg_context(
         problem, cam, active, robust_delta, mu
     )
     K = U.shape[1]
@@ -686,11 +724,11 @@ def cg_reduce_and_solve(
     # rhs = -(bp - W Hll_d^{-1} bl), edge-wise.
     y = _apply_Ainv(Minv, bl)
     Uy = jnp.einsum("lkij,lj->lki", U, y)
-    Wy = jnp.einsum("ep,ei->pi", O.reshape(L * K, P), Uy.reshape(L * K, 6))
+    Wy = _pose_accumulate(problem.obs_cam, Uy, P)
     rhs = -(bp - Wy)
 
     matvec = lambda v: _schur_matvec(
-        v, U, Minv, O, Hpp_d, problem.obs_cam, problem.pose_fixed
+        v, U, Minv, Hpp_d, problem.obs_cam, problem.pose_fixed
     )
     eye6 = jnp.eye(6, dtype=dtype)
     diag_ok = problem.pose_valid & ~problem.pose_fixed
@@ -775,6 +813,15 @@ def ba_iterate_cg(
     return problem, chi2, n_acc
 
 
+@functools.lru_cache(maxsize=16)
+def _global_ba_cg_jit(cam: reproj.Camera, num_iters: int, delta2: float):
+    """Cached jitted GBA body — repeated/chunked GBA calls (interruptible
+    GBA runs `gba_chunk` iterations per call) must not re-trace."""
+    return jax.jit(
+        lambda p: ba_iterate_cg(p, cam, p.obs_valid, num_iters, robust_delta=delta2)
+    )
+
+
 def global_ba_cg(
     problem: BucketedBAProblem, cam: reproj.Camera, num_iters: int = 20
 ):
@@ -783,9 +830,7 @@ def global_ba_cg(
     Returns (problem, survivors (L,K), chi2) — the 20-robust-iteration
     protocol of `GlobalBundleAdjustemnt` (g2oOptimizer.cc:80-385)."""
     delta2 = math.sqrt(losses.CHI2_2DOF)
-    run = jax.jit(
-        lambda p: ba_iterate_cg(p, cam, p.obs_valid, num_iters, robust_delta=delta2)
-    )
+    run = _global_ba_cg_jit(cam, num_iters, delta2)
     problem, chi2, _ = run(problem)
     is_stereo = problem.obs_uvr[..., 2] >= 0.0
     gate = jnp.where(is_stereo, losses.CHI2_3DOF, losses.CHI2_2DOF)
