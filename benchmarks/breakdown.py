@@ -1,8 +1,13 @@
 """Per-iteration composition of the assembled (Pallas) LM loop at the bench
-shape (P=96, L=8192, K=5) — round-2 re-baseline after the fused kernel landed.
+shape (P=96, L=8192, K=5).
 
 Slope-timed (N=2 vs N=8 loop reps inside one jit, CSE defeated by an
-epsilon perturbation of the carried state) per PERF.md methodology.
+epsilon perturbation of the carried state) per PERF.md methodology. This is
+the one canonical stage-timing tool; the round-1/2 exploratory variants
+(S-einsum precision, solve alternatives, feed costs, ...) live in git
+history as benchmarks/breakdown{2..10}.py.
+
+Run on the real TPU chip:  python benchmarks/breakdown.py
 """
 
 import os

@@ -27,11 +27,20 @@ vocabulary and descriptors always agree.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Shipped vocabulary asset (the counterpart of the reference's pre-trained
+# ORBvoc binary, System.cc:109) — regenerated deterministically by
+# scripts/train_vocab.py over many synthetic frames.
+DEFAULT_ASSET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+    "orbvoc_synth_k10_d4.npz",
+)
 
 
 class Vocabulary(NamedTuple):
@@ -157,7 +166,51 @@ def l1_score(q: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.minimum(q[None, :], M), axis=-1)
 
 
-def bow_window_mask(words_q: jnp.ndarray, words_t: jnp.ndarray) -> jnp.ndarray:
-    """(Q, T) mask of same-word pairs — the DBoW2 FeatureVector 'direct
-    index' acceleration for SearchByBoW (ORBmatcher.cc:246)."""
+def bow_window_mask(
+    words_q: jnp.ndarray, words_t: jnp.ndarray, levels_up: int = 0, k: int = 10
+) -> jnp.ndarray:
+    """(Q, T) mask of same-node pairs — the DBoW2 FeatureVector 'direct
+    index' acceleration for SearchByBoW (ORBmatcher.cc:246).
+
+    `levels_up` gates on ancestor nodes `word // k**levels_up` instead of
+    leaf words (the reference's direct-index level, TemplatedVocabulary
+    m_levelsup) — deeper vocabularies need coarser gating or the candidate
+    sets collapse."""
+    if levels_up > 0:
+        div = k ** levels_up
+        words_q = jnp.where(words_q >= 0, words_q // div, -1)
+        words_t = jnp.where(words_t >= 0, words_t // div, -1)
     return (words_q[:, None] == words_t[None, :]) & (words_q[:, None] >= 0)
+
+
+# ----------------------------------------------------------------------
+# Persistence (the reference's loadFromTextFile/binary, System.cc:93-117)
+# ----------------------------------------------------------------------
+
+
+def save(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(
+        path,
+        k=np.int64(voc.k),
+        depth=np.int64(voc.depth),
+        idf=np.asarray(voc.idf),
+        **{f"level{i}": np.asarray(c) for i, c in enumerate(voc.centroids)},
+    )
+
+
+def load(path: str) -> Vocabulary:
+    z = np.load(path)
+    depth = int(z["depth"])
+    return Vocabulary(
+        centroids=tuple(jnp.asarray(z[f"level{i}"]) for i in range(depth)),
+        idf=jnp.asarray(z["idf"]),
+        k=int(z["k"]),
+    )
+
+
+def load_default() -> Optional[Vocabulary]:
+    """The committed synthetic-domain vocabulary, or None if absent."""
+    path = os.path.normpath(DEFAULT_ASSET)
+    if os.path.exists(path):
+        return load(path)
+    return None
