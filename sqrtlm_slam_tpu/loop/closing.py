@@ -371,7 +371,7 @@ class LoopCloser:
         store, cfg, cam = self.store, self.cfg, self.cam
         kp1, kp2, lm1, lm2 = self._matched_pairs(kf1, kf2)
         self.last_reject = ("pairs", len(lm1))  # diagnostics for tuning/tests
-        if len(lm1) < 10:
+        if len(lm1) < 20:  # nmatches<20 discard (LoopClosing.cc ComputeSim3)
             return False, None, None
 
         cap = cfg.match_cap
@@ -607,69 +607,85 @@ class LoopCloser:
         K = store.num_kf
         E = cfg.edge_cap
 
-        e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
-
-        def relative(i, j, s, R, t):
-            S_i = sim3.Sim3(jnp.asarray(s[i]), jnp.asarray(R[i]), jnp.asarray(t[i]))
-            S_j = sim3.Sim3(jnp.asarray(s[j]), jnp.asarray(R[j]), jnp.asarray(t[j]))
-            return sim3.compose(S_j, sim3.inverse(S_i))
-
-        def add_edge(i, j, S_ji=None, corrected_meas=False):
-            if len(e_i) >= E or i < 0 or j < 0 or i == j:
-                return
-            if S_ji is None:
-                if corrected_meas:
-                    S_ji = relative(i, j, s_all, R_all, t_all)
-                else:
-                    S_ji = relative(i, j, s_meas, R_meas, t_meas)
-            e_i.append(i)
-            e_j.append(j)
-            e_s.append(float(S_ji.s))
-            e_R.append(np.asarray(S_ji.R))
-            e_t.append(np.asarray(S_ji.t))
-
+        # Collect (i, j, corrected?) index lists on the host, then measure
+        # ALL relatives in two batched Sim3 composes — per-edge jnp ops cost
+        # one device dispatch each (~35 ms RTT on the remote TPU; 3000 edges
+        # took minutes before this batching).
+        pre_ij: List = []  # measured from the pre-correction snapshot
+        post_ij: List = []  # LoopConnections: measured from corrected poses
         seen = set()
 
-        def mark(i, j):
-            seen.add((min(i, j), max(i, j)))
-
-        # New loop edge: S12 maps loop->cur, i.e. S_cur_loop.
-        add_edge(kf_loop, kf_cur, S12)
-        mark(kf_loop, kf_cur)
-        for (i, j) in loop_connections:
+        def add(i, j, bucket):
+            i, j = int(i), int(j)
+            if i < 0 or j < 0 or i == j:
+                return
             pair = (min(i, j), max(i, j))
-            if pair not in seen:
-                seen.add(pair)
-                add_edge(i, j, corrected_meas=True)
-        for (a, b) in store.loop_edges:
-            if a < K and b < K and (min(a, b), max(a, b)) not in seen:
-                mark(a, b)
-                add_edge(b, a)
-        for k in range(K):
-            if not store.kf_valid[k]:
-                continue
-            p = store.parent[k]
-            if p >= 0 and store.kf_valid[p] and (min(int(p), k), max(int(p), k)) not in seen:
-                mark(int(p), k)
-                add_edge(int(p), k)
-            for c in store.covisible_above(k, cfg.covis_edge_weight):
-                pair = (min(k, int(c)), max(k, int(c)))
-                if pair not in seen:
-                    seen.add(pair)
-                    add_edge(k, int(c))
+            if pair in seen:
+                return
+            seen.add(pair)
+            bucket.append((i, j))
 
-        ne = len(e_i)
+        seen.add((min(kf_loop, kf_cur), max(kf_loop, kf_cur)))
+        for (i, j) in loop_connections:
+            add(i, j, post_ij)
+        for (a, b) in store.loop_edges:
+            if a < K and b < K:
+                add(b, a, pre_ij)
+        valid_k = np.where(store.kf_valid[:K])[0]
+        for k in valid_k:
+            p = store.parent[k]
+            if p >= 0 and store.kf_valid[p]:
+                add(int(p), k, pre_ij)
+            for c in store.covisible_above(int(k), cfg.covis_edge_weight):
+                add(int(k), int(c), pre_ij)
+
+        def batched_relatives(ij, s, R, t):
+            """S_ji = S_jw ∘ S_iw^-1 for all (i, j) pairs in one compose."""
+            if not ij:
+                return (np.zeros(0, np.float32), np.zeros((0, 3, 3), np.float32),
+                        np.zeros((0, 3), np.float32))
+            idx = np.asarray(ij, np.int64)
+            S_i = sim3.Sim3(
+                jnp.asarray(s[idx[:, 0]]), jnp.asarray(R[idx[:, 0]]),
+                jnp.asarray(t[idx[:, 0]]),
+            )
+            S_j = sim3.Sim3(
+                jnp.asarray(s[idx[:, 1]]), jnp.asarray(R[idx[:, 1]]),
+                jnp.asarray(t[idx[:, 1]]),
+            )
+            S = sim3.compose(S_j, sim3.inverse(S_i))
+            return np.asarray(S.s), np.asarray(S.R), np.asarray(S.t)
+
+        s_pre, R_pre, t_pre = batched_relatives(pre_ij, s_meas, R_meas, t_meas)
+        s_post, R_post, t_post = batched_relatives(post_ij, s_all, R_all, t_all)
+
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
         es = np.ones(E, np.float32)
         eR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
         et = np.zeros((E, 3), np.float32)
         ev = np.zeros(E, bool)
-        ei[:ne] = e_i
-        ej[:ne] = e_j
-        es[:ne] = e_s
-        eR[:ne] = e_R
-        et[:ne] = e_t
+        # New loop edge first (S12 maps loop->cur, i.e. S_cur_loop), then
+        # LoopConnections, then chain edges — truncated at capacity.
+        all_i = np.concatenate(
+            [[kf_loop], [p[0] for p in post_ij], [p[0] for p in pre_ij]]
+        ).astype(np.int32)
+        all_j = np.concatenate(
+            [[kf_cur], [p[1] for p in post_ij], [p[1] for p in pre_ij]]
+        ).astype(np.int32)
+        all_s = np.concatenate([[float(S12.s)], s_post, s_pre]).astype(np.float32)
+        all_R = np.concatenate(
+            [np.asarray(S12.R)[None], R_post.reshape(-1, 3, 3), R_pre.reshape(-1, 3, 3)]
+        ).astype(np.float32)
+        all_t = np.concatenate(
+            [np.asarray(S12.t)[None], t_post.reshape(-1, 3), t_pre.reshape(-1, 3)]
+        ).astype(np.float32)
+        ne = min(len(all_i), E)
+        ei[:ne] = all_i[:ne]
+        ej[:ne] = all_j[:ne]
+        es[:ne] = all_s[:ne]
+        eR[:ne] = all_R[:ne]
+        et[:ne] = all_t[:ne]
         ev[:ne] = True
 
         fixed = np.zeros(K, bool)
