@@ -62,7 +62,20 @@ def measure_edges(poses: sim3.Sim3, e_i: jnp.ndarray, e_j: jnp.ndarray) -> sim3.
 def optimize_pose_graph(
     problem: PoseGraphProblem, num_iters: int = 20, mu: float = 1e-6
 ) -> Tuple[PoseGraphProblem, jnp.ndarray]:
-    """Damped GN on the Sim3 pose graph. Returns (problem', final chi2)."""
+    """Damped GN on the Sim3 pose graph. Returns (problem', final chi2).
+
+    All contractions and the Cholesky run at f32 MXU precision
+    (default_matmul_precision "float32"): with bf16 multiplies the K*7
+    normal equations lose the small Jacobian couplings and the GN loop
+    DIVERGES at a few hundred keyframes (observed at K=600 on-chip while
+    CPU f32 converged)."""
+    with jax.default_matmul_precision("float32"):
+        return _optimize_pose_graph_impl(problem, num_iters, mu)
+
+
+def _optimize_pose_graph_impl(
+    problem: PoseGraphProblem, num_iters: int, mu: float
+) -> Tuple[PoseGraphProblem, jnp.ndarray]:
     K = problem.s.shape[0]
 
     def chi2_of(p: PoseGraphProblem):
