@@ -514,6 +514,7 @@ class LoopCloser:
             )
             p_new = sim3.act(sim3.inverse(corrected[i]), sim3.act(S_old, p))
             store.lm_pos[lms] = np.asarray(p_new)
+            store.version += 1
 
         # Pre-correction snapshot: edge MEASUREMENTS come from these
         # (the reference's NonCorrectedSim3 map, LoopClosing.cc:680-720) —
@@ -727,6 +728,7 @@ class LoopCloser:
             tn = new_t[refs]
             p_new = np.einsum("kji,kj->ki", Rn, (p_cam - tn) / np.maximum(s, 1e-9))
             store.lm_pos[lm_sel] = p_new
+            store.version += 1
 
         for k in range(K):
             if store.kf_valid[k]:
@@ -826,6 +828,7 @@ class LoopCloser:
             store.lm_pos[snap_lm + sel] = np.einsum(
                 "kji,kj->ki", Rn, p_cam - tn
             )
+            store.version += 1
 
 
 # ----------------------------------------------------------------------
@@ -931,6 +934,7 @@ def write_back_global_bucketed(store: MapStore, out, survivors, meta):
             store.set_kf_pose(int(k), new_R[i], new_t[i])
     if len(lm_ids):
         store.lm_pos[lm_ids] = np.asarray(out.points[: len(lm_ids)])
+        store.version += 1
     dropped = np.asarray(out.obs_valid) & ~np.asarray(survivors)
     for li, j in zip(*np.nonzero(dropped[: len(lm_ids)])):
         store.erase_observation(int(lm_ids[li]), int(e_kf[li, j]))
@@ -946,6 +950,7 @@ def write_back_global(store: MapStore, out: schur.BAProblem, survivors, meta):
             store.set_kf_pose(int(k), new_R[i], new_t[i])
     if len(lm_ids):
         store.lm_pos[lm_ids] = np.asarray(out.points[: len(lm_ids)])
+        store.version += 1
     surv = np.asarray(survivors)[: len(e_kf)]
     for j in np.where(~surv)[0]:
         store.erase_observation(int(lm_ids[e_lm_slot[j]]), int(e_kf[j]))

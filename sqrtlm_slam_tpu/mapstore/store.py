@@ -132,6 +132,14 @@ class MapStore:
         self.covis = np.zeros((K, K), np.int32)
         self.parent = np.full(K, -1, np.int32)
 
+        # Monotonic mutation counter: bumped by every mutating method (and
+        # manually at the few direct array-write sites in local mapping /
+        # loop closing). Lets per-frame consumers (the tracker's device-
+        # resident local-map buffer) cache across frames and invalidate
+        # exactly when the map changed — the functional-snapshot analogue
+        # of the reference's Map::mMutexMapUpdate freshness guarantee.
+        self.version = 0
+
     # ------------------------------------------------------------------
     # Keyframes
     # ------------------------------------------------------------------
@@ -170,11 +178,13 @@ class MapStore:
         if bow is not None:
             self.kf_bow[k] = bow
         self.num_kf += 1
+        self.version += 1
         return k
 
     def set_kf_pose(self, k: int, R: np.ndarray, t: np.ndarray):
         self.kf_R[k] = R
         self.kf_t[k] = t
+        self.version += 1
 
     def set_kf_lidar(self, k, corner, corner_valid, flat, flat_normal, flat_valid):
         """Attach (downsampled, KF-frame) LiDAR feature clouds to KF k."""
@@ -185,6 +195,7 @@ class MapStore:
         self.kf_flat[k, :nf] = flat[:nf]
         self.kf_flat_normal[k, :nf] = flat_normal[:nf]
         self.kf_flat_valid[k, :nf] = flat_valid[:nf]
+        self.version += 1
 
     # ------------------------------------------------------------------
     # Landmarks & observations
@@ -198,6 +209,7 @@ class MapStore:
         self.lm_desc[l] = desc
         self.lm_first_kf[l] = first_kf
         self.num_lm += 1
+        self.version += 1
         return l
 
     def add_observation(self, lm: int, kf: int, kp_idx: int):
@@ -211,6 +223,7 @@ class MapStore:
         self.lm_obs_idx[lm, s] = kp_idx
         self.lm_n_obs[lm] += 1
         self.kf_obs_lm[kf, kp_idx] = lm
+        self.version += 1
 
     def erase_observation(self, lm: int, kf: int):
         sel = self.lm_obs_kf[lm] == kf
@@ -222,6 +235,7 @@ class MapStore:
             self.lm_obs_kf[lm, sel] = -1
             self.lm_obs_idx[lm, sel] = -1
             self.lm_n_obs[lm] -= int(sel.sum())
+            self.version += 1
         if self.lm_n_obs[lm] <= 0:
             self.lm_valid[lm] = False
 
@@ -236,6 +250,7 @@ class MapStore:
         self.lm_obs_kf[lm] = -1
         self.lm_obs_idx[lm] = -1
         self.lm_n_obs[lm] = 0
+        self.version += 1
         self.lm_valid[lm] = False
 
     def replace_landmark(self, old: int, new: int):
@@ -255,6 +270,7 @@ class MapStore:
         self.lm_obs_idx[old] = -1
         self.lm_n_obs[old] = 0
         self.lm_valid[old] = False
+        self.version += 1
 
     def update_landmark_stats(self, lms: np.ndarray):
         """Recompute representative descriptor (min-median-Hamming), viewing
@@ -287,6 +303,7 @@ class MapStore:
             scale = 1.2**oct_
             self.lm_max_dist[lm] = dist * scale * 1.2
             self.lm_min_dist[lm] = dist * scale / (1.2**7) / 1.2
+        self.version += 1
 
     # ------------------------------------------------------------------
     # Covisibility graph + spanning tree
@@ -312,6 +329,7 @@ class MapStore:
             row[j] = counts[j]
         self.covis[kf] = row
         self.covis[:, kf] = row
+        self.version += 1
 
         if self.parent[kf] < 0 and kf > 0:
             w = counts.copy()
@@ -343,7 +361,9 @@ class MapStore:
 
     def reset(self):
         """Full map reset (System::Reset / Tracking::Reset semantics)."""
+        v = self.version
         self.__post_init__()
+        self.version = v + 1  # monotonic across resets (cache keys stay unique)
         self.num_kf = 0
         self.num_lm = 0
         self.loop_edges = []

@@ -402,6 +402,7 @@ class LocalMapper:
             if not fixed[i]:
                 store.set_kf_pose(k, new_R[i], new_t[i])
         store.lm_pos[lm_ids] = new_pts[:nl]
+        store.version += 1
 
         # Erase observations gated out by chi2/depth (g2oOptimizer.cc:1119-1189).
         # (e_kf >= 0) is the host copy of obs_valid — no extra device fetch.

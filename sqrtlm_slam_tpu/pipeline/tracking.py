@@ -192,30 +192,41 @@ def match_and_optimize_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "r_motion", "r_local", "min_inliers", "match_dist"),
+    static_argnames=(
+        "cam", "r_motion", "r_local", "min_inliers", "close_depth", "match_dist"
+    ),
 )
-def track_frame_stages(
-    guess: se3.SE3,
+def track_frame_step(
+    prev_pose: se3.SE3,
+    velocity: jnp.ndarray,
     lm: LocalMapBuffer,
     frame: Frame,
     cam: Camera,
     r_motion: float,
     r_local: float,
     min_inliers: int,
+    close_depth: float,
     lidar_map=None,
     match_dist: float = 0.45,
 ):
-    """Both tracking stages in ONE device dispatch.
+    """The WHOLE per-frame device computation in one dispatch.
 
-    Stage A (motion-model matching + pose LM at `r_motion`, with the
-    reference's widened-window retry as a lax.cond — Tracking.cc:1503-1584),
-    then stage B (local-map matching at `r_local`, LiDAR-tightly-coupled when
-    a lidar local map is given). Fusing the stages halves the per-frame
-    dispatch count — on a remote-attached chip each dispatch costs ~35 ms
-    RTT, which dominated tracked-frames/s.
+    Motion-model prediction (constant-velocity retract), stage A matching +
+    pose LM at `r_motion` with the reference's widened-window retry as a
+    lax.cond (Tracking.cc:1503-1584), stage B local-map tracking at
+    `r_local` (LiDAR-tightly-coupled when a lidar local map is given), the
+    next constant-velocity estimate, and the keyframe-policy close-point
+    counters (Tracking.cc:1730-1754) — so the host state machine needs
+    exactly ONE dispatch and ONE two-leaf fetch per frame. On a
+    remote-attached chip every extra dispatch/fetch costs a ~35 ms RTT;
+    folding retract/local_delta/close-counts in here cut ~150 ms/frame.
 
-    Returns (pose, m_idx, m_valid, n_inliers, n_lidar).
+    Returns (pose, new_velocity, packed_i (2, M) int32 [match idx, match
+    valid], packed_f (17,) f32 [R.ravel(9), t(3), n_inliers, nA, n_lidar,
+    tracked_close, total_close]). pose/new_velocity stay device-resident
+    for the next frame; only the packed pair needs fetching.
     """
+    guess = se3.retract(prev_pose, velocity)
     outA = match_and_optimize(guess, lm, frame, cam, r_motion)
 
     def widen(_):
@@ -235,7 +246,28 @@ def track_frame_stages(
             poseA, lm, frame, cam, r_local
         )
         n_lidar = jnp.asarray(0, jnp.int32)
-    return pose, m_idx, m_valid, n_inl, n_lidar, nA
+
+    new_velocity = se3.local_delta(pose, prev_pose)
+
+    # Close-point keyframe-rule counters (Tracking.cc:1730-1754): keypoints
+    # with associated depth in (0, close_depth), split tracked / untracked.
+    close = (frame.depth > 0) & (frame.depth < close_depth)
+    tracked_close = jnp.sum(jnp.where(m_valid, close[m_idx], False))
+    total_close = jnp.sum(close)
+
+    packed_i = jnp.stack(
+        [m_idx.astype(jnp.int32), m_valid.astype(jnp.int32)]
+    )
+    packed_f = jnp.concatenate(
+        [
+            pose.R.reshape(-1),
+            pose.t,
+            jnp.stack([n_inl, nA, n_lidar, tracked_close, total_close]).astype(
+                jnp.float32
+            ),
+        ]
+    )
+    return pose, new_velocity, packed_i, packed_f
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))
@@ -272,6 +304,27 @@ def recover_pose_no_prior(
     return pose, jnp.maximum(out3.num_inliers, out2.num_inliers)
 
 
+@jax.jit
+def _pack_kf_fields(pose: se3.SE3, frame: Frame):
+    """Pack the keyframe-record fields into 3 fetchable leaves: (N,7) f32
+    [xy(2), uvr(3), depth, angle], (N,10) u32 [desc(8), octave, valid],
+    (12,) f32 [R.ravel, t]."""
+    kp = frame.kp
+    pf = jnp.concatenate(
+        [kp.xy, frame.uvr, frame.depth[:, None], kp.angle[:, None]], axis=-1
+    )
+    pi = jnp.concatenate(
+        [
+            kp.desc,
+            kp.octave[:, None].astype(jnp.uint32),
+            kp.valid[:, None].astype(jnp.uint32),
+        ],
+        axis=-1,
+    )
+    ps = jnp.concatenate([pose.R.reshape(-1), pose.t])
+    return pf, pi, ps
+
+
 class Tracker:
     """Host-side tracking state machine (one instance per SLAM system)."""
 
@@ -302,12 +355,23 @@ class Tracker:
         self.map_lock = contextlib.nullcontext()
         self._init_ref: Optional[Frame] = None  # mono init reference frame
         self.last_lidar_matches = 0  # tight-coupling association count
+        # Device-resident gather caches keyed by (ref_kf, store.version):
+        # between keyframes the local map does not change, so the host->device
+        # buffer transfers (4+ arrays/frame) are skipped entirely.
+        self._lm_cache_key = None
+        self._lm_cache: Optional[LocalMapBuffer] = None
+        self._lidar_cache_key = None
+        self._lidar_cache = None
 
     # ------------------------------------------------------------------
 
     def _gather_local_map(self) -> tuple:
         """Local map = landmarks of ref KF + its best covisible KFs
-        (UpdateLocalKeyFrames/Points, Tracking.cc:2114-2260)."""
+        (UpdateLocalKeyFrames/Points, Tracking.cc:2114-2260). Cached on
+        device across frames until the map mutates (store.version)."""
+        key = (self.ref_kf, self.store.version)
+        if self._lm_cache_key == key:
+            return self._lm_cache
         cap = self.cfg.local_map_capacity
         with self.map_lock:
             kfs = [self.ref_kf] + list(
@@ -316,7 +380,10 @@ class Tracker:
             lm_ids = np.unique(self.store.kf_obs_lm[kfs])
             lm_ids = lm_ids[(lm_ids >= 0)]
             lm_ids = lm_ids[self.store.lm_valid[lm_ids]][:cap]
-            return self._buffer_from_ids(lm_ids)
+            buf = self._buffer_from_ids(lm_ids)
+        self._lm_cache_key = key
+        self._lm_cache = buf
+        return buf
 
     def _buffer_from_ids(self, lm_ids: np.ndarray) -> LocalMapBuffer:
         cap = self.cfg.local_map_capacity
@@ -343,9 +410,15 @@ class Tracker:
         voxel-hash maps (UpdateLidarLocalPoints, Tracking.cc:2263-2320:
         aggregate per-KF clouds of the visual local KFs, voxel-filter,
         rebuild the NN structure)."""
+        key = (self.ref_kf, self.store.version)
+        if self._lidar_cache_key == key:
+            return self._lidar_cache
         store, cfg = self.store, self.cfg
         with self.map_lock:
-            return self._gather_lidar_local_map_locked(store, cfg)
+            out = self._gather_lidar_local_map_locked(store, cfg)
+        self._lidar_cache_key = key
+        self._lidar_cache = out
+        return out
 
     def _gather_lidar_local_map_locked(self, store, cfg):
         kfs = [self.ref_kf] + [
@@ -482,27 +555,33 @@ class Tracker:
         self._record_trajectory()
         return True
 
-    def _insert_keyframe(self, frame: Frame) -> int:
+    def _insert_keyframe(self, frame: Frame, pose_R_h=None, pose_t_h=None) -> int:
         """Create a keyframe + landmarks from depth (CreateNewKeyFrame).
 
         New landmarks come from depth-carrying keypoints not already matched
         to the map, nearest-first, capped (UpdateLastFrame/CreateNewKeyFrame
         close-point creation, Tracking.cc:1385-1492, 1846-1953)."""
         with self.map_lock:
-            return self._insert_keyframe_locked(frame)
+            return self._insert_keyframe_locked(frame, pose_R_h, pose_t_h)
 
-    def _insert_keyframe_locked(self, frame: Frame) -> int:
+    def _insert_keyframe_locked(self, frame: Frame, pose_R_h=None, pose_t_h=None) -> int:
         store = self.store
         kp = frame.kp
         words = bow = None
         if self.vocab_hook is not None:
             words, bow = self.vocab_hook(kp.desc, kp.valid)
-        # ONE batched fetch of everything the keyframe record needs (each
-        # separate np.asarray is a device round trip).
-        R, t, xy, uvr, depth_a, desc, angle, octave, kp_valid = jax.device_get(
-            (self.pose.R, self.pose.t, kp.xy, frame.uvr, frame.depth,
-             kp.desc, kp.angle, kp.octave, kp.valid)
-        )
+        # ONE packed fetch (3 leaves) of everything the keyframe record
+        # needs — fetching the 9 fields separately costs a device round
+        # trip per leaf on a remote-attached chip.
+        pf, pi, ps = jax.device_get(_pack_kf_fields(self.pose, frame))
+        xy, uvr, depth_a, angle = pf[:, :2], pf[:, 2:5], pf[:, 5], pf[:, 6]
+        desc = pi[:, :8]
+        octave = pi[:, 8].astype(np.int32)
+        kp_valid = pi[:, 9].astype(bool)
+        if pose_R_h is not None:
+            R, t = pose_R_h, pose_t_h
+        else:
+            R, t = ps[:9].reshape(3, 3), ps[9:12]
         kf = store.add_keyframe(
             R=np.asarray(R),
             t=np.asarray(t),
@@ -564,29 +643,34 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
-    def _need_keyframe(self, num_inliers: int, frame: Frame) -> bool:
+    def _need_keyframe(
+        self, num_inliers: int, tracked_close: int, untracked_close: int
+    ) -> bool:
         """Keyframe policy ((c1a||c1b||c1c)&&c2 + close-point rule,
-        Tracking.cc:1683-1835)."""
+        Tracking.cc:1683-1835). The close-point counters come from the fused
+        device step (no extra depth fetch)."""
         if self.frames_since_kf < self.cfg.kf_min_interval:
             return False
         if self.frames_since_kf >= self.cfg.kf_max_interval:
             return True
-        ref_obs = int((self.store.kf_obs_lm[self.ref_kf] >= 0).sum())
+        # Reference matches against landmarks of the ref KF tracked in >=
+        # nMinObs keyframes (TrackedMapPoints(nMinObs), Tracking.cc:1706-1711)
+        # — counting ALL observations inflates ref_obs and turned every frame
+        # into a keyframe early on.
+        min_obs = 3 if self.store.num_kf > 2 else 2
+        ref_lms = self.store.kf_obs_lm[self.ref_kf]
+        ref_lms = ref_lms[ref_lms >= 0]
+        ref_obs = int((self.store.lm_n_obs[ref_lms] >= min_obs).sum())
         weak = num_inliers < self.cfg.kf_tracked_ratio * max(ref_obs, 1)
 
         # Close-point rule: few tracked close points but many creatable ones.
-        depth = np.asarray(frame.depth)
-        close = (depth > 0) & (depth < self.cfg.close_depth)
-        tracked_close = 0
-        if self.last_lm_ids is not None:
-            kp_idx = self.last_lm_ids[:, 1]
-            tracked_close = int(close[kp_idx].sum())
-        untracked_close = int(close.sum()) - tracked_close
         close_rule = (
             tracked_close < self.cfg.kf_close_tracked
             and untracked_close > self.cfg.kf_close_untracked
         )
-        return weak or close_rule
+        # The reference gates the whole OR on a minimum match count
+        # (mnMatchesInliers > 15, Tracking.cc:1758).
+        return (weak or close_rule) and num_inliers > 15
 
     def _relocalize(self, frame: Frame) -> bool:
         """Try BoW reloc candidates (plus the last reference KF); on success
@@ -666,30 +750,21 @@ class Tracker:
                 self.frames_lost += 1
                 return None
 
-        # --- stages A+B in ONE device dispatch (motion-model matching with
-        # widened-window retry, then local-map tracking — LiDAR-tightly-
-        # coupled when lidar features are present; the reference's two
-        # PoseOptimization calls, Tracking.cc:1503-1668) ---
-        guess = se3.retract(self.pose, self.velocity)
+        # --- the WHOLE per-frame device computation in ONE dispatch
+        # (motion-model prediction + both matching/pose-LM stages + next
+        # velocity + keyframe counters; the reference's two PoseOptimization
+        # calls, Tracking.cc:1503-1668), followed by ONE two-leaf fetch.
         lm_buffer = self._gather_local_map()
         lidar_map = self._gather_lidar_local_map() if frame.lidar is not None else None
-        pose, m_idx, m_valid, n_inliers, n_lidar, nA = track_frame_stages(
-            guess, lm_buffer, frame, self.cam,
+        pose, velocity, packed_i, packed_f = track_frame_step(
+            self.pose, self.velocity, lm_buffer, frame, self.cam,
             self.cfg.match_radius_motion, self.cfg.match_radius_local,
-            self.cfg.min_inliers_track,
+            self.cfg.min_inliers_track, self.cfg.close_depth,
             lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
         )
-        # ONE batched host fetch for everything the state machine needs —
-        # each individual sync costs a full round trip on a remote-attached
-        # chip (~30 ms measured), so int()/np.asarray() sprinkled through the
-        # frame added up to more time than the device compute itself.
-        m_idx, m_valid, n_inliers, nA, n_lidar, pose_R_h, pose_t_h = jax.device_get(
-            (m_idx, m_valid, n_inliers, nA, n_lidar, pose.R, pose.t)
-        )
-        if lidar_map is not None:
-            self.last_lidar_matches = int(n_lidar)
+        packed_i, packed_f = jax.device_get((packed_i, packed_f))
 
-        if int(nA) < self.cfg.min_inliers_track:
+        if int(packed_f[13]) < self.cfg.min_inliers_track:  # nA
             # No-prior fallback: descriptor-only match + 3D-3D RANSAC seed
             # (TrackReferenceKeyFrame geometry, Tracking.cc:1317-1377).
             self._key, sub = jax.random.split(self._key)
@@ -697,17 +772,23 @@ class Tracker:
                 sub, lm_buffer, frame, self.cam
             )
             if int(n_ransac) >= self.cfg.min_inliers_track:
-                pose, m_idx, m_valid, n_inliers, n_lidar, _ = track_frame_stages(
-                    seed_pose, lm_buffer, frame, self.cam,
+                pose, velocity, packed_i, packed_f = track_frame_step(
+                    seed_pose, jnp.zeros(6), lm_buffer, frame, self.cam,
                     self.cfg.match_radius_motion, self.cfg.match_radius_local,
-                    self.cfg.min_inliers_track,
+                    self.cfg.min_inliers_track, self.cfg.close_depth,
                     lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
                 )
-                m_idx, m_valid, n_inliers, n_lidar, pose_R_h, pose_t_h = jax.device_get(
-                    (m_idx, m_valid, n_inliers, n_lidar, pose.R, pose.t)
-                )
+                packed_i, packed_f = jax.device_get((packed_i, packed_f))
 
-        n = int(n_inliers)
+        pose_R_h = packed_f[:9].reshape(3, 3)
+        pose_t_h = packed_f[9:12]
+        n = int(packed_f[12])
+        n_lidar = int(packed_f[14])
+        tracked_close = int(packed_f[15])
+        untracked_close = int(packed_f[16]) - tracked_close
+        if lidar_map is not None:
+            self.last_lidar_matches = n_lidar
+
         if n < self.cfg.min_inliers_local:
             self.state = TrackState.LOST
             self.velocity = jnp.zeros(6)
@@ -715,18 +796,19 @@ class Tracker:
 
         # Bookkeeping: matched landmark -> keypoint pairs (host side).
         ids = np.asarray(lm_buffer.ids)
-        mi = np.asarray(m_idx)
-        mv = np.asarray(m_valid)
+        mi, mv = packed_i[0], packed_i[1].astype(bool)
         sel = mv & (ids >= 0)
         self.last_lm_ids = np.stack([ids[sel], mi[sel]], axis=-1)
 
-        self.velocity = se3.local_delta(pose, self.pose)
-        prev_pose = self.pose
+        # pose/velocity stay device-resident (next frame's step inputs).
+        self.velocity = velocity
         self.pose = pose
         self.state = TrackState.OK
         self.last_inliers = n
 
-        if not self.localization_only and self._need_keyframe(n, frame):
-            self._insert_keyframe(frame)
+        if not self.localization_only and self._need_keyframe(
+            n, tracked_close, untracked_close
+        ):
+            self._insert_keyframe(frame, pose_R_h=pose_R_h, pose_t_h=pose_t_h)
         self._record_trajectory(pose_R_h, pose_t_h)
         return pose

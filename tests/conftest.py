@@ -30,3 +30,17 @@ if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compilation cache for the suite: CPU compiles of the big
+# frame-build / BA graphs dominate suite wall time (>80% of a cold run), and
+# they are identical run to run. First (cold) run pays full compile cost;
+# every later run is minutes faster. Disable with SQRTLM_TEST_NOCACHE=1.
+if os.environ.get("SQRTLM_TEST_NOCACHE", "") != "1":
+    from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+    enable_persistent_cache(
+        os.environ.get(
+            "SQRTLM_TEST_CACHE",
+            os.path.expanduser("~/.cache/sqrtlm_jax_tests"),
+        )
+    )
