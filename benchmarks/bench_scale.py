@@ -30,6 +30,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Platform override FIRST — before any package import can initialize
+    # the backend (sitecustomize pins the remote TPU platform).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     from sqrtlm_slam_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):

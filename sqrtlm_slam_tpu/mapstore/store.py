@@ -275,34 +275,49 @@ class MapStore:
     def update_landmark_stats(self, lms: np.ndarray):
         """Recompute representative descriptor (min-median-Hamming), viewing
         normal and scale range for the given landmark ids
-        (MapPoint.cc:382-580)."""
-        for lm in np.atleast_1d(lms):
-            obs_kf = self.lm_obs_kf[lm]
-            obs_idx = self.lm_obs_idx[lm]
-            sel = obs_kf >= 0
-            if not sel.any():
-                continue
-            kfs = obs_kf[sel]
-            idxs = obs_idx[sel]
-            descs = self.kf_desc[kfs, idxs]  # (n, 8)
-            if len(descs) > 1:
-                x = descs[:, None, :] ^ descs[None, :, :]
-                d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-                med = np.median(d, axis=1)
-                self.lm_desc[lm] = descs[int(np.argmin(med))]
-            else:
-                self.lm_desc[lm] = descs[0]
-            # Viewing normal: mean unit vector from KF centers to the point.
-            centers = -np.einsum("kij,kj->ki", self.kf_R[kfs].transpose(0, 2, 1), self.kf_t[kfs])
-            v = self.lm_pos[lm][None] - centers
-            nv = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
-            self.lm_normal[lm] = nv.mean(0)
-            dist = np.linalg.norm(v[-1])
-            # Scale range from the last observation's octave (1.2 pyramid).
-            oct_ = int(self.kf_octave[kfs[-1], idxs[-1]])
-            scale = 1.2**oct_
-            self.lm_max_dist[lm] = dist * scale * 1.2
-            self.lm_min_dist[lm] = dist * scale / (1.2**7) / 1.2
+        (MapPoint.cc:382-580). Fully vectorized over the batch — the
+        per-landmark python loop was a per-keyframe host hotspot."""
+        lms = np.atleast_1d(np.asarray(lms, np.int64))
+        if len(lms) == 0:
+            return
+        O = self.obs_per_landmark
+        okf = self.lm_obs_kf[lms]  # (n, O)
+        oidx = self.lm_obs_idx[lms]
+        sel = okf >= 0
+        rows = sel.any(1)
+        if not rows.any():
+            return
+        lms, okf, oidx, sel = lms[rows], okf[rows], oidx[rows], sel[rows]
+        kfs = np.where(sel, okf, 0)
+        idxs = np.where(sel, oidx, 0)
+        descs = self.kf_desc[kfs, idxs]  # (n, O, 8) uint32
+
+        # Min-median-Hamming representative descriptor per landmark.
+        x = descs[:, :, None, :] ^ descs[:, None, :, :]  # (n, O, O, 8)
+        d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).astype(np.float32)
+        d[~sel[:, None, :].repeat(O, 1)] = np.nan  # invalid columns
+        med = np.nanmedian(d, axis=2)  # (n, O)
+        med[~sel] = np.inf  # invalid candidates
+        best = np.argmin(med, axis=1)
+        n_idx = np.arange(len(lms))
+        self.lm_desc[lms] = descs[n_idx, best]
+
+        # Viewing normal: mean unit vector from KF centers to the point.
+        R = self.kf_R[kfs]  # (n, O, 3, 3)
+        t = self.kf_t[kfs]
+        centers = -np.einsum("nkji,nkj->nki", R, t)
+        v = self.lm_pos[lms][:, None, :] - centers  # (n, O, 3)
+        nv = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        cnt = np.maximum(sel.sum(1, keepdims=True), 1)
+        self.lm_normal[lms] = (nv * sel[..., None]).sum(1) / cnt
+
+        # Scale range from the LAST valid observation's octave (1.2 pyramid).
+        last = O - 1 - np.argmax(sel[:, ::-1], axis=1)
+        dist = np.linalg.norm(v[n_idx, last], axis=-1)
+        oct_ = self.kf_octave[kfs[n_idx, last], idxs[n_idx, last]]
+        scale = 1.2**oct_.astype(np.float32)
+        self.lm_max_dist[lms] = dist * scale * 1.2
+        self.lm_min_dist[lms] = dist * scale / (1.2**7) / 1.2
         self.version += 1
 
     # ------------------------------------------------------------------

@@ -35,8 +35,7 @@ from ..optim import schur_bucketed
 from . import triangulation
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "radius_px"))
-def _project_and_match(
+def _project_and_match_impl(
     pose_R, pose_t, lm_pos, lm_desc, lm_valid,
     lm_normal, lm_min_dist, lm_max_dist,
     kp_xy, kp_desc, kp_valid, cam: Camera, radius_px: float,
@@ -64,6 +63,29 @@ def _project_and_match(
         lm_desc, kp_desc, ok, kp_valid,
         window_mask=window, max_dist=matching.TH_LOW, mutual=True,
     )
+
+
+_project_and_match = functools.partial(jax.jit, static_argnames=("cam", "radius_px"))(
+    _project_and_match_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "radius_px"))
+def _project_and_match_many(
+    pose_R, pose_t, lm_pos, lm_desc, lm_valid,
+    lm_normal, lm_min_dist, lm_max_dist,
+    kp_xy, kp_desc, kp_valid, cam: Camera, radius_px: float,
+):
+    """Batched variant: one landmark set projected into B keyframes at once
+    (leading axis on pose/keypoint arrays) — the reverse direction of
+    SearchInNeighbors as ONE dispatch instead of one per neighbor."""
+    return jax.vmap(
+        lambda R, t, xy, dsc, kv: _project_and_match_impl(
+            R, t, lm_pos, lm_desc, lm_valid,
+            lm_normal, lm_min_dist, lm_max_dist,
+            xy, dsc, kv, cam, radius_px,
+        )
+    )(pose_R, pose_t, kp_xy, kp_desc, kp_valid)
 
 
 class LocalMappingConfig(NamedTuple):
@@ -128,8 +150,7 @@ class LocalMapper:
             ids = np.unique(ids[ids >= 0])
             return ids[store.lm_valid[ids]][:fuse_cap]
 
-        def fuse_dispatch(target_kf, lm_ids):
-            """Launch the projection match (async) — NO host sync here."""
+        def lm_buffer(lm_ids):
             cap = fuse_cap
             pos = np.zeros((cap, 3), np.float32)
             desc = np.zeros((cap, 8), np.uint32)
@@ -144,6 +165,11 @@ class LocalMapper:
             normal[:m] = store.lm_normal[lm_ids]
             dmin[:m] = store.lm_min_dist[lm_ids]
             dmax[:m] = store.lm_max_dist[lm_ids]
+            return pos, desc, val, normal, dmin, dmax
+
+        def fuse_dispatch(target_kf, lm_ids):
+            """Launch the projection match (async) — NO host sync here."""
+            pos, desc, val, normal, dmin, dmax = lm_buffer(lm_ids)
             return _project_and_match(
                 jnp.asarray(store.kf_R[target_kf]), jnp.asarray(store.kf_t[target_kf]),
                 jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
@@ -188,17 +214,35 @@ class LocalMapper:
                 res = fuse_dispatch(kf, ids)
                 rv, ri = jax.device_get((res.valid, res.idx))
                 total += fuse_apply(kf, ids, rv, ri)
-        # Reverse direction: dispatch ALL neighbor matches first (they queue
-        # on the device / in flight concurrently), then ONE batched fetch —
-        # instead of a dispatch+sync round trip per neighbor.
+        # Reverse direction: ONE vmapped dispatch over a fixed-capacity
+        # neighbor batch (padded rows have kp_valid all-False -> no matches,
+        # and the fixed B avoids per-neighbor-count recompiles).
         own = lm_of(kf)
         if len(own):
-            handles = [(nb, fuse_dispatch(nb, own)) for nb in neighbors]
-            fetched = jax.device_get(
-                [(r.valid, r.idx) for _, r in handles]
+            B = 24
+            nbs = neighbors[:B]
+            pos, desc, val, normal, dmin, dmax = lm_buffer(own)
+            bR = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            bt = np.zeros((B, 3), np.float32)
+            bxy = np.zeros((B,) + store.kf_xy.shape[1:], np.float32)
+            bdesc = np.zeros((B,) + store.kf_desc.shape[1:], np.uint32)
+            bval = np.zeros((B,) + store.kf_kp_valid.shape[1:], bool)
+            for i, nb in enumerate(nbs):
+                bR[i] = store.kf_R[nb]
+                bt[i] = store.kf_t[nb]
+                bxy[i] = store.kf_xy[nb]
+                bdesc[i] = store.kf_desc[nb]
+                bval[i] = store.kf_kp_valid[nb]
+            res = _project_and_match_many(
+                jnp.asarray(bR), jnp.asarray(bt),
+                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
+                jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+                jnp.asarray(bxy), jnp.asarray(bdesc), jnp.asarray(bval),
+                self.cam, 3.0,
             )
-            for (nb, _), (rv, ri) in zip(handles, fetched):
-                total += fuse_apply(nb, own, rv, ri)
+            rv, ri = jax.device_get((res.valid, res.idx))
+            for i, nb in enumerate(nbs):
+                total += fuse_apply(nb, own, rv[i], ri[i])
         if total:
             touched = lm_of(kf)
             store.update_landmark_stats(touched[:512])
@@ -325,30 +369,38 @@ class LocalMapper:
         nk = len(kf_ids)
         nl = len(lm_ids)
 
-        # Bucketed observation slots, landmark-major.
+        # Bucketed observation slots, landmark-major — fully vectorized
+        # (the per-slot python loop was ~L*O iterations per keyframe and
+        # dominated local-mapping host time at point_cap=4096).
         obs_cam = np.zeros((L, K), np.int32)
         obs_uvr = np.full((L, K, 3), -1.0, np.float32)
         obs_is2 = np.ones((L, K), np.float32)
         obs_valid = np.zeros((L, K), bool)
         e_kf = np.full((L, K), -1, np.int32)
         e_kp = np.full((L, K), -1, np.int32)
-        for li, lm in enumerate(lm_ids):
-            j = 0
-            for s in range(store.obs_per_landmark):
-                kf = int(store.lm_obs_kf[lm, s])
-                if kf < 0 or kf not in kf_slot:
-                    continue
-                if j >= K:
-                    break
-                kp = int(store.lm_obs_idx[lm, s])
-                obs_cam[li, j] = kf_slot[kf]
-                obs_uvr[li, j] = store.kf_uvr[kf, kp]
-                oct_ = int(store.kf_octave[kf, kp])
-                obs_is2[li, j] = 1.0 / (1.2 ** (2 * oct_))
-                obs_valid[li, j] = True
-                e_kf[li, j] = kf
-                e_kp[li, j] = kp
-                j += 1
+        if nl:
+            slot_of = np.full(store.max_keyframes + 1, -1, np.int32)
+            slot_of[np.asarray(kf_ids, np.int64)] = np.arange(nk, dtype=np.int32)
+            okf = store.lm_obs_kf[lm_ids]  # (nl, O)
+            oidx = store.lm_obs_idx[lm_ids]
+            sel = (okf >= 0) & (slot_of[np.clip(okf, 0, None)] >= 0)
+            # Compact each row's selected slots to the front, keep first K.
+            order = np.argsort(~sel, axis=1, kind="stable")  # selected first
+            okf_c = np.take_along_axis(okf, order, axis=1)[:, :K]
+            oidx_c = np.take_along_axis(oidx, order, axis=1)[:, :K]
+            sel_c = np.take_along_axis(sel, order, axis=1)[:, :K]
+            okf_c = np.where(sel_c, okf_c, 0)
+            oidx_c = np.where(sel_c, oidx_c, 0)
+            obs_cam[:nl] = np.where(sel_c, slot_of[okf_c], 0)
+            obs_uvr[:nl] = np.where(
+                sel_c[..., None], store.kf_uvr[okf_c, oidx_c], -1.0
+            )
+            obs_is2[:nl] = np.where(
+                sel_c, 1.0 / (1.2 ** (2 * store.kf_octave[okf_c, oidx_c])), 1.0
+            )
+            obs_valid[:nl] = sel_c
+            e_kf[:nl] = np.where(sel_c, okf_c, -1)
+            e_kp[:nl] = np.where(sel_c, oidx_c, -1)
 
         pose_R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         pose_t = np.zeros((P, 3), np.float32)

@@ -15,6 +15,17 @@ import os
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
+    # Honor JAX_PLATFORMS=cpu BEFORE any config touch: the container's
+    # sitecustomize pins the remote TPU platform, and the cache-config
+    # updates below can trigger backend initialization — after which the
+    # platform can no longer be changed (bench_dist once silently ran its
+    # "8-way CPU mesh" on the single TPU chip because of this ordering).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     cache_dir = path or os.environ.get(
         "SQRTLM_JAX_CACHE", os.path.expanduser("~/.cache/sqrtlm_jax")
     )
