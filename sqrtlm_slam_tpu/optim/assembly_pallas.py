@@ -267,6 +267,43 @@ def _kernel(
     hpp_ref[:] = acc
 
 
+class AssemblyRows(NamedTuple):
+    """Kernel-native rows layout (landmarks on lanes) — no transposes.
+
+    The (L, 3, 3)/(L, K, 6, 3) shapes of AssemblyOut pad their trailing
+    3/6 dims to 128 lanes in every downstream elementwise op (a 20-40x
+    memory-traffic tax); consumers that keep the whole sqrt-Schur tail in
+    rows layout (schur_bucketed._pieces_tail_rows) avoid it entirely."""
+
+    hll9: jnp.ndarray  # (9, L) rows of Hll (row-major 3x3)
+    bl3: jnp.ndarray  # (3, L)
+    u18: jnp.ndarray  # (18, K, L) rows of U: index 3*i+j = U[i, j]
+    Hpp: jnp.ndarray  # (P, 6, 6)
+    bp: jnp.ndarray  # (P, 6)
+    chi2: jnp.ndarray  # ()
+
+
+def assemble_prepared_rows(
+    pose_R, pose_t, points, prep: PreparedObs, *,
+    fx, fy, cx, cy, bf, robust_delta, interpret: bool = False,
+) -> AssemblyRows:
+    """assemble_prepared without the output transposes (rows layout)."""
+    hll, bl, u, hpp, chi = _assemble_raw(
+        pose_R, pose_t, points, prep,
+        fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+        robust_delta=robust_delta, interpret=interpret,
+    )
+    P = pose_R.shape[0]
+    return AssemblyRows(
+        hll9=hll,
+        bl3=bl,
+        u18=u,
+        Hpp=hpp[:P, :36].reshape(P, 6, 6),
+        bp=hpp[:P, 36:42],
+        chi2=jnp.sum(chi),
+    )
+
+
 def assemble_prepared(
     pose_R,  # (P, 3, 3)
     pose_t,  # (P, 3)
@@ -285,6 +322,28 @@ def assemble_prepared(
 
     Only the pose/point state crosses HBM per call; the pose gather happens
     inside the kernel on the MXU (see _gather_poses)."""
+    P, L = pose_R.shape[0], points.shape[0]
+    hll, bl, u, hpp, chi = _assemble_raw(
+        pose_R, pose_t, points, prep,
+        fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+        robust_delta=robust_delta, interpret=interpret,
+    )
+    K = prep.cam_t.shape[0]
+    return AssemblyOut(
+        Hll=hll.T.reshape(L, 3, 3),
+        bl=bl.T,
+        U=u.transpose(2, 1, 0).reshape(L, K, 6, 3),
+        Hpp=hpp[:P, :36].reshape(P, 6, 6),
+        bp=hpp[:P, 36:42],
+        chi2=jnp.sum(chi),
+    )
+
+
+def _assemble_raw(
+    pose_R, pose_t, points, prep: PreparedObs, *,
+    fx, fy, cx, cy, bf, robust_delta, interpret: bool = False,
+):
+    """Shared pallas_call: returns raw kernel outputs (rows layout)."""
     P, L = pose_R.shape[0], points.shape[0]
     K = prep.cam_t.shape[0]
     assert L % LANES == 0, f"L={L} must be a multiple of {LANES}"
@@ -345,14 +404,7 @@ def assemble_prepared(
         interpret=interpret,
     )(pose_flat, x_t, prep.uvr_t, prep.w_t, prep.st_t, prep.fr_t, prep.cam_t)
 
-    return AssemblyOut(
-        Hll=hll.T.reshape(L, 3, 3),
-        bl=bl.T,
-        U=u.transpose(2, 1, 0).reshape(L, K, 6, 3),
-        Hpp=hpp[:P, :36].reshape(P, 6, 6),
-        bp=hpp[:P, 36:42],
-        chi2=jnp.sum(chi),
-    )
+    return hll, bl, u, hpp, chi
 
 
 @functools.partial(

@@ -418,6 +418,132 @@ def _pieces_tail(
     )
 
 
+class RowsPieces(NamedTuple):
+    """Sqrt-Schur tail products in kernel-native rows layout (see
+    assembly_pallas.AssemblyRows): the (L, K, 6, 3)/(L, 3, 3) tensors of
+    LocalPieces pad their trailing dims to 128 lanes in every elementwise
+    op; keeping landmarks on lanes avoids that tax end to end."""
+
+    S_half: jnp.ndarray  # (P*6, P*6)
+    bp: jnp.ndarray  # (P, 6)
+    rhs_corr: jnp.ndarray  # (P*6,)
+    chi2: jnp.ndarray  # ()
+    u18: jnp.ndarray  # (18, K, L)
+    minv6: jnp.ndarray  # (6, L): m11, m21, m22, m31, m32, m33 of Lc^{-1}
+    bl3: jnp.ndarray  # (3, L)
+
+
+def _pieces_tail_rows(problem, rows, mu, O) -> RowsPieces:
+    """_pieces_tail in rows layout (Pallas-path fast tail).
+
+    `rows` is assembly_pallas.AssemblyRows; `O` is the loop-constant
+    one-hot camera assignment in (K, P, L) layout. Algebra identical to
+    _pieces_tail (same bf16-Y S product, same f32 rhs_corr)."""
+    P, L = problem.num_poses, problem.num_points
+    dtype = rows.bl3.dtype
+    pv = problem.point_valid  # (L,)
+    h = rows.hll9
+
+    # Damped Hll rows (invalid points -> identity), closed-form Cholesky
+    # + lower-triangular inverse, all elementwise on lanes.
+    eps = 1e-20
+    a11 = jnp.where(pv, h[0] * (1.0 + mu) + 1e-8, 1.0)
+    a21 = jnp.where(pv, h[3], 0.0)
+    a31 = jnp.where(pv, h[6], 0.0)
+    a22 = jnp.where(pv, h[4] * (1.0 + mu) + 1e-8, 1.0)
+    a32 = jnp.where(pv, h[7], 0.0)
+    a33 = jnp.where(pv, h[8] * (1.0 + mu) + 1e-8, 1.0)
+    l11 = jnp.sqrt(jnp.maximum(a11, eps))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, eps))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, eps))
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
+    m32 = -l32 * m22 * m33
+    minv6 = jnp.stack([m11, m21, m22, m31, m32, m33])
+
+    # V = U Lc^{-T} rows: V[i, j] = sum_m U[i, m] Minv[j, m].
+    u = rows.u18
+
+    def U_(i, m):
+        return u[3 * i + m]
+
+    y_bf16 = jax.default_backend() == "tpu"
+    y_dtype = jnp.bfloat16 if y_bf16 else dtype
+    V18 = jnp.stack(
+        [
+            row
+            for i in range(6)
+            for row in (
+                U_(i, 0) * m11,
+                U_(i, 0) * m21 + U_(i, 1) * m22,
+                U_(i, 0) * m31 + U_(i, 1) * m32 + U_(i, 2) * m33,
+            )
+        ]
+    ).astype(y_dtype)  # (18, K, L)
+
+    # Pose-scatter WITHOUT the (P, L, 6, 3) dense intermediate of _build_Y:
+    # Y'[x, p, l] = sum_k O[k, p, l] V18[x, k, l], then the Gram product.
+    Yp = jnp.einsum("kpl,xkl->xpl", O.astype(y_dtype), V18)
+    Y6 = Yp.reshape(6, 3, P, L)
+    S_half = -jnp.einsum(
+        "imal,jmbl->aibj", Y6, Y6, preferred_element_type=jnp.float32
+    ).reshape(P * 6, P * 6)
+    dpp = jnp.diagonal(rows.Hpp, axis1=-2, axis2=-1)
+    Hpp_d = rows.Hpp + (mu * dpp[..., None] + 1e-8) * jnp.eye(6, dtype=dtype)
+    S_half = S_half + jnp.einsum(
+        "pij,pq->piqj", Hpp_d, jnp.eye(P, dtype=dtype)
+    ).reshape(P * 6, P * 6)
+
+    # rhs_corr = Y (Hll_d^{-1} bl) from the small f32 rows (full accuracy).
+    b0, b1, b2 = rows.bl3
+    z0 = m11 * b0
+    z1 = m21 * b0 + m22 * b1
+    z2 = m31 * b0 + m32 * b1 + m33 * b2
+    y20 = m11 * z0 + m21 * z1 + m31 * z2
+    y21 = m22 * z1 + m32 * z2
+    y22 = m33 * z2
+    Vz = jnp.stack(
+        [U_(i, 0) * y20 + U_(i, 1) * y21 + U_(i, 2) * y22 for i in range(6)]
+    )  # (6, K, L)
+    rhs_corr = jnp.einsum(
+        "kpl,ikl->pi", O, Vz, precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1)
+    return RowsPieces(
+        S_half=S_half, bp=rows.bp, rhs_corr=rhs_corr, chi2=rows.chi2,
+        u18=u, minv6=minv6, bl3=rows.bl3,
+    )
+
+
+def back_substitute_rows(pieces: RowsPieces, problem, dxp, O):
+    """back_substitute in rows layout: dxl = Hll_d^{-1}(-bl - W^T dxp)."""
+    u = pieces.u18
+    m11, m21, m22, m31, m32, m33 = pieces.minv6
+    dxp_g = jnp.einsum(
+        "kpl,pi->ikl", O, dxp, precision=jax.lax.Precision.HIGHEST
+    )  # (6, K, L)
+    Wt = [
+        sum(jnp.sum(u[3 * i + j] * dxp_g[i], axis=0) for i in range(6))
+        for j in range(3)
+    ]
+    r0 = -pieces.bl3[0] - Wt[0]
+    r1 = -pieces.bl3[1] - Wt[1]
+    r2 = -pieces.bl3[2] - Wt[2]
+    z0 = m11 * r0
+    z1 = m21 * r0 + m22 * r1
+    z2 = m31 * r0 + m32 * r1 + m33 * r2
+    d0 = m11 * z0 + m21 * z1 + m31 * z2
+    d1 = m22 * z1 + m32 * z2
+    d2 = m33 * z2
+    dxl = jnp.stack([d0, d1, d2], axis=-1)  # (L, 3)
+    return jnp.where(problem.point_valid[:, None], dxl, 0.0)
+
+
 def solve_pose_system(S, rhs, pose_fixed):
     """Gauge-fix + dense Cholesky solve of the reduced camera system.
 
@@ -511,12 +637,22 @@ def ba_iterate(
         prep = assembly_pallas.prepare(
             problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
         )
+        # Loop-constant one-hot camera assignment in (K, P, L) layout for
+        # the rows-layout tail (scatter/gather by MXU/elementwise chains).
+        O = jax.nn.one_hot(prep.cam_t, problem.num_poses, axis=1)
 
         def reduce_fn(prob):
-            out = assembly_pallas.assemble_prepared(
+            return assembly_pallas.assemble_prepared_rows(
                 prob.pose_R, prob.pose_t, prob.points, prep, **statics
             )
-            return (out.Hll, out.bl, out.U, out.Hpp, out.bp, out.chi2)
+
+        def step_fn(prob, red, mu):
+            pieces = _pieces_tail_rows(prob, red, mu, O)
+            rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+            dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
+            dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
+            dxl = back_substitute_rows(pieces, prob, dxp, O)
+            return dxp, dxl, pieces.bp, pieces.bl3.T
 
     else:
 
@@ -524,25 +660,38 @@ def ba_iterate(
             terms = _edge_terms(prob, cam, active, robust_delta)[:5]
             return reductions_from_terms(prob, terms)
 
-    return _ba_iterate_core(problem, reduce_fn, num_iters)
+        step_fn = None
+
+    return _ba_iterate_core(problem, reduce_fn, num_iters, step_fn=step_fn)
 
 
 def _ba_iterate_core(
-    problem: BucketedBAProblem, reduce_fn, num_iters: int
+    problem: BucketedBAProblem, reduce_fn, num_iters: int, step_fn=None
 ) -> Tuple[BucketedBAProblem, jnp.ndarray, jnp.ndarray]:
-    """Shared LM scan: carry reductions, assemble once per iteration."""
+    """Shared LM scan: carry reductions, assemble once per iteration.
+
+    `step_fn(prob, red, mu) -> (dxp, dxl, bp, bl)` computes the damped step
+    from the carried reductions; the default consumes the XLA-layout tuple,
+    the Pallas path passes a rows-layout variant (_pieces_tail_rows)."""
     red0 = reduce_fn(problem)
     dtype = problem.points.dtype
+
+    if step_fn is None:
+
+        def step_fn(prob, red, mu):
+            Hll, bl, U, Hpp, bp, chi2 = red
+            pieces = _pieces_tail(prob, Hll, bl, U, Hpp, bp, chi2, mu)
+            rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+            dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
+            dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
+            dxl = back_substitute(pieces, prob, dxp)
+            return dxp, dxl, bp, bl
 
     def body(carry, _):
         pose_R, pose_t, points, red, mu, nu, n_acc = carry
         prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
-        Hll, bl, U, Hpp, bp, chi2 = red
-        pieces = _pieces_tail(prob, Hll, bl, U, Hpp, bp, chi2, mu)
-        rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
-        dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
-        dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
-        dxl = back_substitute(pieces, prob, dxp)
+        chi2 = red[5]
+        dxp, dxl, bp, bl = step_fn(prob, red, mu)
         candidate = _apply_update(prob, dxp, dxl)
         red_c = reduce_fn(candidate)  # speculative: reductions at candidate
         chi2_c = red_c[5]

@@ -191,3 +191,98 @@ def test_chi2_kernel_matches_xla(robust_delta):
             robust_delta=robust_delta, interpret=True,
         )
     np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_rows_tail_matches_pieces_tail():
+    """_pieces_tail_rows (kernel-native rows layout) must reproduce
+    _pieces_tail's S_half / rhs_corr / backsub algebra exactly (both f32
+    on CPU)."""
+    flat, _ = make_ba_problem(seed=2, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    cam = DEFAULT_CAM
+    mu = jnp.float32(1e-3)
+
+    terms = schur_bucketed._edge_terms(prob, cam, prob.obs_valid, 2.447)[:5]
+    Hll, bl, U, Hpp, bp, chi2 = schur_bucketed.reductions_from_terms(prob, terms)
+    ref = schur_bucketed._pieces_tail(prob, Hll, bl, U, Hpp, bp, chi2, mu)
+
+    rows = assembly_pallas.AssemblyRows(
+        hll9=Hll.reshape(L, 9).T,
+        bl3=bl.T,
+        u18=U.reshape(L, K, 18).transpose(2, 1, 0),
+        Hpp=Hpp,
+        bp=bp,
+        chi2=chi2,
+    )
+    O = jax.nn.one_hot(prob.obs_cam.T, P, axis=1)  # (K, P, L)
+    got = schur_bucketed._pieces_tail_rows(prob, rows, mu, O)
+
+    # Tolerances scale with the matrix magnitude: S entries are ~5e6-scale
+    # dot products whose near-cancelling sums reassociate differently
+    # between the two einsum orders (pure f32 effects, max rel ~3e-6 of the
+    # matrix scale).
+    S_ref = np.asarray(ref.S_half)
+    np.testing.assert_allclose(
+        np.asarray(got.S_half), S_ref, rtol=1e-4, atol=1e-5 * np.abs(S_ref).max()
+    )
+    r_ref = np.asarray(ref.rhs_corr)
+    np.testing.assert_allclose(
+        np.asarray(got.rhs_corr), r_ref, rtol=1e-4,
+        atol=1e-5 * np.abs(r_ref).max(),
+    )
+    rhs = -(ref.bp.reshape(-1) - ref.rhs_corr)
+    dxp = schur_bucketed.solve_pose_system(ref.S_half, rhs, prob.pose_fixed)
+    dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)
+    dxl_ref = schur_bucketed.back_substitute(ref, prob, dxp)
+    dxl_rows = schur_bucketed.back_substitute_rows(got, prob, dxp, O)
+    # dxl goes through Minv twice; f32 reassociation in the weighted sums
+    # is amplified by the solve's conditioning (~1e-3 relative on the
+    # smallest entries).
+    np.testing.assert_allclose(
+        np.asarray(dxl_rows), np.asarray(dxl_ref), rtol=5e-3, atol=1e-4
+    )
+
+
+def test_ba_iterate_rows_body_matches_xla_body():
+    """The full rows-layout Pallas LM body (interpret mode) must track the
+    XLA loop: same convergence, accept counts within 1."""
+    flat, _ = make_ba_problem(seed=1, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = schur_bucketed.from_flat(flat, K)
+    cam = DEFAULT_CAM
+    delta = 2.447
+
+    out_a, chi2_a, acc_a = schur_bucketed.ba_iterate(
+        prob, cam, prob.obs_valid, 8, robust_delta=delta, use_pallas=False
+    )
+
+    w_active = prob.obs_inv_sigma2 * prob.obs_valid.astype(jnp.float32)
+    prep = assembly_pallas.prepare(
+        prob.obs_uvr, w_active, ~prob.pose_fixed, prob.obs_cam
+    )
+    O = jax.nn.one_hot(prep.cam_t, P, axis=1)
+
+    def reduce_fn(p):
+        return assembly_pallas.assemble_prepared_rows(
+            p.pose_R, p.pose_t, p.points, prep,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf,
+            robust_delta=delta, interpret=True,
+        )
+
+    def step_fn(p, red, mu):
+        pieces = schur_bucketed._pieces_tail_rows(p, red, mu, O)
+        rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
+        dxp = schur_bucketed.solve_pose_system(pieces.S_half, rhs, p.pose_fixed)
+        dxp = jnp.where(p.pose_fixed[:, None], 0.0, dxp)
+        dxl = schur_bucketed.back_substitute_rows(pieces, p, dxp, O)
+        return dxp, dxl, pieces.bp, pieces.bl3.T
+
+    out_b, chi2_b, acc_b = schur_bucketed._ba_iterate_core(
+        prob, reduce_fn, 8, step_fn=step_fn
+    )
+    assert abs(int(acc_a) - int(acc_b)) <= 1
+    chi2_0 = float(schur_bucketed.chi2_only(prob, cam, prob.obs_valid, delta))
+    assert float(chi2_b) < 0.1 * chi2_0
+    np.testing.assert_allclose(float(chi2_a), float(chi2_b), rtol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(out_a.pose_t), np.asarray(out_b.pose_t), rtol=5e-2, atol=5e-2
+    )

@@ -39,6 +39,7 @@ def _run(n_frames=8, blank=(), noise_frame=None, seed=2):
 
 
 class TestFailureRecovery:
+    @pytest.mark.slow
     def test_occlusion_recovers(self):
         """Blank frames mid-sequence -> LOST -> relocalize when vision returns."""
         s, results = _run(n_frames=10, blank=(4, 5))
@@ -57,6 +58,7 @@ class TestFailureRecovery:
 
 
 class TestDeterminism:
+    @pytest.mark.slow
     def test_identical_runs_identical_trajectories(self):
         s1, _ = _run(n_frames=7)
         s2, _ = _run(n_frames=7)

@@ -20,6 +20,7 @@ def render_pair(world, T_l, cam):
     return img_l, img_r, depth_l
 
 
+@pytest.mark.slow
 def test_stereo_depth_accuracy():
     # Wide baseline (1 m): the synthetic renderer quantizes patches to
     # integer pixels, so small-baseline disparities (~3 px) carry ±0.5 px
