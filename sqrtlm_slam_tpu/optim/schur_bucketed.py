@@ -433,26 +433,18 @@ class RowsPieces(NamedTuple):
     bl3: jnp.ndarray  # (3, L)
 
 
-def _pieces_tail_rows(problem, rows, mu, O) -> RowsPieces:
-    """_pieces_tail in rows layout (Pallas-path fast tail).
-
-    `rows` is assembly_pallas.AssemblyRows; `O` is the loop-constant
-    one-hot camera assignment in (K, P, L) layout. Algebra identical to
-    _pieces_tail (same bf16-Y S product, same f32 rhs_corr)."""
-    P, L = problem.num_poses, problem.num_points
-    dtype = rows.bl3.dtype
-    pv = problem.point_valid  # (L,)
-    h = rows.hll9
-
-    # Damped Hll rows (invalid points -> identity), closed-form Cholesky
-    # + lower-triangular inverse, all elementwise on lanes.
+def _damped_minv_rows(h9, point_valid, mu):
+    """Damped-Hll closed-form Cholesky + lower-triangular inverse in rows
+    layout: (9, L) Hll rows -> (6, L) [m11, m21, m22, m31, m32, m33] of
+    Lc^{-1} (Hll_d^{-1} = Minv^T Minv). All elementwise on lanes."""
+    pv = point_valid
     eps = 1e-20
-    a11 = jnp.where(pv, h[0] * (1.0 + mu) + 1e-8, 1.0)
-    a21 = jnp.where(pv, h[3], 0.0)
-    a31 = jnp.where(pv, h[6], 0.0)
-    a22 = jnp.where(pv, h[4] * (1.0 + mu) + 1e-8, 1.0)
-    a32 = jnp.where(pv, h[7], 0.0)
-    a33 = jnp.where(pv, h[8] * (1.0 + mu) + 1e-8, 1.0)
+    a11 = jnp.where(pv, h9[0] * (1.0 + mu) + 1e-8, 1.0)
+    a21 = jnp.where(pv, h9[3], 0.0)
+    a31 = jnp.where(pv, h9[6], 0.0)
+    a22 = jnp.where(pv, h9[4] * (1.0 + mu) + 1e-8, 1.0)
+    a32 = jnp.where(pv, h9[7], 0.0)
+    a33 = jnp.where(pv, h9[8] * (1.0 + mu) + 1e-8, 1.0)
     l11 = jnp.sqrt(jnp.maximum(a11, eps))
     l21 = a21 / l11
     l31 = a31 / l11
@@ -465,7 +457,30 @@ def _pieces_tail_rows(problem, rows, mu, O) -> RowsPieces:
     m21 = -l21 * m11 * m22
     m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
     m32 = -l32 * m22 * m33
-    minv6 = jnp.stack([m11, m21, m22, m31, m32, m33])
+    return jnp.stack([m11, m21, m22, m31, m32, m33])
+
+
+def _hinv_rows(minv6, b3):
+    """Hll_d^{-1} b in rows layout: Minv^T (Minv b), b (3, L) -> (3, L)."""
+    m11, m21, m22, m31, m32, m33 = minv6
+    z0 = m11 * b3[0]
+    z1 = m21 * b3[0] + m22 * b3[1]
+    z2 = m31 * b3[0] + m32 * b3[1] + m33 * b3[2]
+    return jnp.stack(
+        [m11 * z0 + m21 * z1 + m31 * z2, m22 * z1 + m32 * z2, m33 * z2]
+    )
+
+
+def _pieces_tail_rows(problem, rows, mu, O) -> RowsPieces:
+    """_pieces_tail in rows layout (Pallas-path fast tail).
+
+    `rows` is assembly_pallas.AssemblyRows; `O` is the loop-constant
+    one-hot camera assignment in (K, P, L) layout. Algebra identical to
+    _pieces_tail (same bf16-Y S product, same f32 rhs_corr)."""
+    P, L = problem.num_poses, problem.num_points
+    dtype = rows.bl3.dtype
+    minv6 = _damped_minv_rows(rows.hll9, problem.point_valid, mu)
+    m11, m21, m22, m31, m32, m33 = minv6
 
     # V = U Lc^{-T} rows: V[i, j] = sum_m U[i, m] Minv[j, m].
     u = rows.u18
@@ -814,17 +829,136 @@ def _apply_Ainv(Minv, x):
     return jnp.einsum("lji,ljk,lk->li", Minv, Minv, x)
 
 
+def _pose_gather(obs_cam: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """v (P, D) -> (L, K, D) by camera index, as a (chunked) one-hot matmul.
+
+    The direct `v[obs_cam]` gather costs ~1.2 ms at the 600-KF/1.2e5-
+    landmark scale shape (TPU gathers serialize); the one-hot MXU form is
+    ~5x faster at DEFAULT precision. DEFAULT truncates v to bf16 on the
+    MXU (~0.4% on the gathered values) — acceptable here because the
+    matvec's pose accumulation is already a DEFAULT-precision one-hot
+    product, so the CG operator is bf16-grade either way and the LM
+    accept/reject gates on an exact chi2."""
+    L, K = obs_cam.shape
+    P, D = v.shape
+    E = L * K
+    oc = obs_cam.reshape(E)
+    if E * P <= _ONE_HOT_BUDGET:
+        O = jax.nn.one_hot(oc, P, dtype=v.dtype)
+        return jnp.einsum("ep,pd->ed", O, v).reshape(L, K, D)
+    chunk = max(_ONE_HOT_BUDGET // (P * K), 128) * K
+    nb = -(-E // chunk)
+    pad = nb * chunk - E
+    oc_p = jnp.pad(oc, (0, pad)).reshape(nb, chunk)
+
+    def body(_, oc_b):
+        O_b = jax.nn.one_hot(oc_b, P, dtype=v.dtype)
+        return None, jnp.einsum("ep,pd->ed", O_b, v)
+
+    _, out = jax.lax.scan(body, None, oc_p)
+    return out.reshape(nb * chunk, D)[:E].reshape(L, K, D)
+
+
 def _schur_matvec(v, U, Minv, Hpp_d, obs_cam, pose_fixed):
     """S @ v for v (P, 6), matrix-free: two K-reductions + one (chunked)
     one-hot accumulation."""
     P = Hpp_d.shape[0]
     v = jnp.where(pose_fixed[:, None], 0.0, v)
-    Wt_v = jnp.einsum("lkij,lki->lj", U, v[obs_cam])  # (L, 3)
+    Wt_v = jnp.einsum("lkij,lki->lj", U, _pose_gather(obs_cam, v))  # (L, 3)
     y = _apply_Ainv(Minv, Wt_v)  # (L, 3)
     Uy = jnp.einsum("lkij,lj->lki", U, y)  # (L, K, 6)
     Wy = _pose_accumulate(obs_cam, Uy, P)
     Sv = jnp.einsum("pij,pj->pi", Hpp_d, v) - Wy
     return jnp.where(pose_fixed[:, None], v, Sv)
+
+
+def _schur_matvec_rows(v, u18, minv6, Hpp_d, obs_cam, pose_fixed):
+    """S @ v in rows layout (u18 (18, K, L) from the Pallas assembly).
+
+    The (L, K, 6, 3)-shaped U einsums of _schur_matvec pay the 128-lane
+    padding tax on their trailing dims (~2.8 ms of a 4.8 ms matvec at the
+    600-KF scale shape); here every per-landmark product is an elementwise
+    row chain. The two layout transposes are (L, K, 6) f32 — small."""
+    P = Hpp_d.shape[0]
+    L, K = obs_cam.shape
+    v = jnp.where(pose_fixed[:, None], 0.0, v)
+    vg6 = _pose_gather(obs_cam, v).transpose(2, 1, 0)  # (6, K, L)
+
+    def U_(i, m):
+        return u18[3 * i + m]
+
+    Wt = jnp.stack(
+        [
+            sum(jnp.sum(U_(i, j) * vg6[i], axis=0) for i in range(6))
+            for j in range(3)
+        ]
+    )  # (3, L)
+    y = _hinv_rows(minv6, Wt)
+    Uy6 = jnp.stack(
+        [U_(i, 0) * y[0] + U_(i, 1) * y[1] + U_(i, 2) * y[2] for i in range(6)]
+    )  # (6, K, L)
+    Wy = _pose_accumulate(obs_cam, Uy6.transpose(2, 1, 0), P)
+    Sv = jnp.einsum("pij,pj->pi", Hpp_d, v) - Wy
+    return jnp.where(pose_fixed[:, None], v, Sv)
+
+
+def cg_reduce_and_solve_rows(
+    problem: BucketedBAProblem, cam, active, robust_delta, mu,
+    cg_iters: int = 100, cg_tol: float = 1e-6,
+):
+    """cg_reduce_and_solve on the Pallas-assembly rows layout (TPU path).
+
+    Same algebra; the context comes from the fused kernel and every
+    per-landmark tensor stays landmarks-on-lanes."""
+    from . import assembly_pallas
+
+    P, L = problem.num_poses, problem.num_points
+    w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+    prep = assembly_pallas.prepare(
+        problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
+    )
+    red = assembly_pallas.assemble_prepared_rows(
+        problem.pose_R, problem.pose_t, problem.points, prep,
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+        cy=float(cam.cy), bf=float(cam.bf), robust_delta=robust_delta,
+    )
+    dtype = red.bl3.dtype
+    minv6 = _damped_minv_rows(red.hll9, problem.point_valid, mu)
+    eye6 = jnp.eye(6, dtype=dtype)
+    dpp = jnp.diagonal(red.Hpp, axis1=-2, axis2=-1)
+    Hpp_d = red.Hpp + (mu * dpp[..., None] + 1e-8) * eye6
+
+    def U_(i, m):
+        return red.u18[3 * i + m]
+
+    # rhs = -(bp - W Hll_d^{-1} bl).
+    y = _hinv_rows(minv6, red.bl3)
+    Uy6 = jnp.stack(
+        [U_(i, 0) * y[0] + U_(i, 1) * y[1] + U_(i, 2) * y[2] for i in range(6)]
+    )
+    Wy = _pose_accumulate(problem.obs_cam, Uy6.transpose(2, 1, 0), P)
+    rhs = -(red.bp - Wy)
+
+    matvec = lambda v: _schur_matvec_rows(
+        v, red.u18, minv6, Hpp_d, problem.obs_cam, problem.pose_fixed
+    )
+    diag_ok = problem.pose_valid & ~problem.pose_fixed
+    M = jnp.where(diag_ok[:, None, None], Hpp_d, eye6)
+    Mp = jax.numpy.linalg.inv(M + 1e-8 * eye6)
+
+    dxp, cg_n = _pcg(matvec, rhs, Mp, problem.pose_fixed, cg_iters, cg_tol)
+    dxp = jnp.where(problem.pose_fixed[:, None], 0.0, dxp)
+
+    vg6 = _pose_gather(problem.obs_cam, dxp).transpose(2, 1, 0)
+    Wt = jnp.stack(
+        [
+            sum(jnp.sum(U_(i, j) * vg6[i], axis=0) for i in range(6))
+            for j in range(3)
+        ]
+    )
+    dxl = _hinv_rows(minv6, -red.bl3 - Wt).T
+    dxl = jnp.where(problem.point_valid[:, None], dxl, 0.0)
+    return dxp, dxl, red.chi2, red.bp, red.bl3.T, cg_n
 
 
 def _pcg(matvec, b, Minv_blocks, pose_fixed, max_iters: int, tol: float):
@@ -887,7 +1021,7 @@ def cg_reduce_and_solve(
     dxp, cg_n = _pcg(matvec, rhs, Mp, problem.pose_fixed, cg_iters, cg_tol)
     dxp = jnp.where(problem.pose_fixed[:, None], 0.0, dxp)
 
-    Wt_dxp = jnp.einsum("lkij,lki->lj", U, dxp[problem.obs_cam])
+    Wt_dxp = jnp.einsum("lkij,lki->lj", U, _pose_gather(problem.obs_cam, dxp))
     dxl = _apply_Ainv(Minv, -bl - Wt_dxp)
     dxl = jnp.where(problem.point_valid[:, None], dxl, 0.0)
     return dxp, dxl, chi2, bp, bl, cg_n
@@ -922,11 +1056,16 @@ def ba_iterate_cg(
     """LM loop using the matrix-free PCG step (whole-map scale)."""
     chi20 = chi2_only(problem, cam, active, robust_delta)
     mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
+    step = (
+        cg_reduce_and_solve_rows
+        if _pallas_assembly_ok(problem, cam, robust_delta)
+        else cg_reduce_and_solve
+    )
 
     def body(carry, _):
         pose_R, pose_t, points, chi2, mu, nu, n_acc = carry
         prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
-        dxp, dxl, _, bp, bl, _ = cg_reduce_and_solve(
+        dxp, dxl, _, bp, bl, _ = step(
             prob, cam, active, robust_delta, mu, cg_iters=cg_iters
         )
         candidate = _apply_update(prob, dxp, dxl)

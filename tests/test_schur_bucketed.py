@@ -107,3 +107,38 @@ def test_global_ba_cg_converges(problems):
     out, survivors, chi2 = sb.global_ba_cg(bucketed, DEFAULT_CAM, num_iters=10)
     assert float(chi2) < 0.1 * c0
     assert int(jnp.sum(survivors)) > 0.8 * int(jnp.sum(bucketed.obs_valid))
+
+
+def test_schur_matvec_rows_matches():
+    """The rows-layout CG matvec must reproduce _schur_matvec (same S)."""
+    import jax
+    import jax.numpy as jnp
+
+    P, L, K = 8, 256, 4
+    flat, _ = make_ba_problem(seed=3, P=P, L=L, stereo_frac=0.5, obs_per_landmark=K)
+    prob = sb.from_flat(flat, K)
+    cam = DEFAULT_CAM
+    mu = jnp.float32(1e-3)
+    r, U, Minv, Hpp_d, bp, bl, chi2 = sb._cg_context(
+        prob, cam, prob.obs_valid, 2.447, mu
+    )
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(P, 6).astype(np.float32))
+    ref = sb._schur_matvec(v, U, Minv, Hpp_d, prob.obs_cam, prob.pose_fixed)
+
+    # rows context from the XLA tensors
+    u18 = U.reshape(L, K, 18).transpose(2, 1, 0)
+    # minv6 rows from the same damped Hll as _cg_context (reconstruct via Minv)
+    minv6 = jnp.stack(
+        [
+            Minv[:, 0, 0], Minv[:, 1, 0], Minv[:, 1, 1],
+            Minv[:, 2, 0], Minv[:, 2, 1], Minv[:, 2, 2],
+        ]
+    )
+    got = sb._schur_matvec_rows(
+        v, u18, minv6, Hpp_d, prob.obs_cam, prob.pose_fixed
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4,
+        atol=1e-5 * float(jnp.abs(ref).max()),
+    )
