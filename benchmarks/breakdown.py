@@ -192,13 +192,58 @@ def m_chi2():
     return (problem, jnp.float32(0.0)), body, lambda c: c[1]
 
 
+
+
+def m_production_scan():
+    """The ACTUAL production LM body (rows-layout Pallas path) via
+    ba_iterate slope: 15 vs 45 iterations inside one jit."""
+    import time as _time
+
+    out = {}
+    for iters in (15, 45):
+        f = jax.jit(
+            lambda p, n=iters: sb.ba_iterate(
+                p, cam, p.obs_valid, n, robust_delta=DELTA, use_pallas=True
+            )[1]
+        )
+        float(f(problem))
+        best = 1e9
+        for _ in range(4):
+            t0 = _time.perf_counter()
+            float(f(problem))
+            best = min(best, _time.perf_counter() - t0)
+        out[iters] = best
+    return (out[45] - out[15]) / 30 * 1e3
+
+
+def m_rows_tail():
+    w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+    prep = ap.prepare(problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam)
+    red0 = ap.assemble_prepared_rows(
+        problem.pose_R, problem.pose_t, problem.points, prep,
+        fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
+        cy=float(cam.cy), bf=float(cam.bf), robust_delta=DELTA,
+    )
+    O = jax.nn.one_hot(prep.cam_t, P, axis=1)
+
+    def body(carry):
+        red, s = carry
+        pieces = sb._pieces_tail_rows(problem, red, MU, O)
+        s2 = jnp.sum(pieces.S_half[:2, :2]) + pieces.rhs_corr[0]
+        eps = 1.0 + jnp.sign(s2) * 1e-7
+        return (jax.tree.map(lambda a: a * eps if a.ndim else a, red), s2)
+
+    return (red0, jnp.float32(0.0)), body, lambda c: c[1]
+
 print(f"device={jax.devices()[0].platform}, P={P}, L={L}, K={K}")
+print(f"{'production LM iter (rows, slope 15v45)':38s}: {m_production_scan():7.3f} ms")
 for name, m in [
     ("full LM iteration", m_full_iter),
     ("build_local_pieces (kernel+tail)", m_pieces),
     ("  assemble kernel (incl feed)", m_assemble),
     ("    XLA feed (gathers/transposes)", m_feed),
     ("  _pieces_tail (V/Y/S/rhs_corr)", m_tail),
+    ("  _pieces_tail_rows (production)", m_rows_tail),
     ("solve_pose_system (576)", m_solve),
     ("back_substitute", m_backsub),
     ("chi2_only (kernel incl feed)", m_chi2),
