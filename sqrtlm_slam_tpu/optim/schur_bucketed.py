@@ -904,7 +904,7 @@ def _schur_matvec_rows(v, u18, minv6, Hpp_d, obs_cam, pose_fixed):
 
 def cg_reduce_and_solve_rows(
     problem: BucketedBAProblem, cam, active, robust_delta, mu,
-    cg_iters: int = 100, cg_tol: float = 1e-6,
+    cg_iters: int = 100, cg_tol: float = 1e-2,
 ):
     """cg_reduce_and_solve on the Pallas-assembly rows layout (TPU path).
 
@@ -962,7 +962,13 @@ def cg_reduce_and_solve_rows(
 
 
 def _pcg(matvec, b, Minv_blocks, pose_fixed, max_iters: int, tol: float):
-    """Block-Jacobi preconditioned CG on the reduced camera system."""
+    """Block-Jacobi preconditioned CG on the reduced camera system.
+
+    `tol` is the inexact-Newton forcing term (stop at ||r|| <= tol ||b||):
+    LM steps do not need tight linear solves — the Nielsen accept/reject
+    gates step quality — and the bf16-grade matvec cannot reach 1e-6
+    anyway, so a tight tol just burns max_iters matvecs per step (a 1e-6
+    default made every GBA step run all 100 CG iterations)."""
     b = jnp.where(pose_fixed[:, None], 0.0, b)
     precond = lambda r: jnp.einsum("pij,pj->pi", Minv_blocks, r)
     x0 = jnp.zeros_like(b)
@@ -992,7 +998,7 @@ def _pcg(matvec, b, Minv_blocks, pose_fixed, max_iters: int, tol: float):
 
 def cg_reduce_and_solve(
     problem: BucketedBAProblem, cam, active, robust_delta, mu,
-    cg_iters: int = 100, cg_tol: float = 1e-6,
+    cg_iters: int = 100, cg_tol: float = 1e-2,
 ):
     """One damped-GN step via matrix-free Schur + PCG (bucketed).
 
