@@ -829,23 +829,26 @@ def _apply_Ainv(Minv, x):
     return jnp.einsum("lji,ljk,lk->li", Minv, Minv, x)
 
 
-def _pose_gather(obs_cam: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _pose_gather(
+    obs_cam: jnp.ndarray, v: jnp.ndarray, precision=None
+) -> jnp.ndarray:
     """v (P, D) -> (L, K, D) by camera index, as a (chunked) one-hot matmul.
 
     The direct `v[obs_cam]` gather costs ~1.2 ms at the 600-KF/1.2e5-
     landmark scale shape (TPU gathers serialize); the one-hot MXU form is
     ~5x faster at DEFAULT precision. DEFAULT truncates v to bf16 on the
-    MXU (~0.4% on the gathered values) — acceptable here because the
-    matvec's pose accumulation is already a DEFAULT-precision one-hot
-    product, so the CG operator is bf16-grade either way and the LM
-    accept/reject gates on an exact chi2."""
+    MXU (~0.4% on the gathered values) — acceptable on the rows TPU path
+    because the matvec's pose accumulation is already a DEFAULT-precision
+    one-hot product and the LM accept/reject gates on an exact chi2.
+    Callers needing an exact gather (the XLA fallback path, whose other
+    einsums are f32) pass precision=jax.lax.Precision.HIGHEST."""
     L, K = obs_cam.shape
     P, D = v.shape
     E = L * K
     oc = obs_cam.reshape(E)
     if E * P <= _ONE_HOT_BUDGET:
         O = jax.nn.one_hot(oc, P, dtype=v.dtype)
-        return jnp.einsum("ep,pd->ed", O, v).reshape(L, K, D)
+        return jnp.einsum("ep,pd->ed", O, v, precision=precision).reshape(L, K, D)
     chunk = max(_ONE_HOT_BUDGET // (P * K), 128) * K
     nb = -(-E // chunk)
     pad = nb * chunk - E
@@ -853,18 +856,22 @@ def _pose_gather(obs_cam: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
     def body(_, oc_b):
         O_b = jax.nn.one_hot(oc_b, P, dtype=v.dtype)
-        return None, jnp.einsum("ep,pd->ed", O_b, v)
+        return None, jnp.einsum("ep,pd->ed", O_b, v, precision=precision)
 
     _, out = jax.lax.scan(body, None, oc_p)
     return out.reshape(nb * chunk, D)[:E].reshape(L, K, D)
 
 
-def _schur_matvec(v, U, Minv, Hpp_d, obs_cam, pose_fixed):
+def _schur_matvec(v, U, Minv, Hpp_d, obs_cam, pose_fixed,
+                  precision=jax.lax.Precision.HIGHEST):
     """S @ v for v (P, 6), matrix-free: two K-reductions + one (chunked)
-    one-hot accumulation."""
+    one-hot accumulation. Exact-precision gather by default — this is the
+    XLA fallback operator whose surrounding einsums are f32."""
     P = Hpp_d.shape[0]
     v = jnp.where(pose_fixed[:, None], 0.0, v)
-    Wt_v = jnp.einsum("lkij,lki->lj", U, _pose_gather(obs_cam, v))  # (L, 3)
+    Wt_v = jnp.einsum(
+        "lkij,lki->lj", U, _pose_gather(obs_cam, v, precision=precision)
+    )  # (L, 3)
     y = _apply_Ainv(Minv, Wt_v)  # (L, 3)
     Uy = jnp.einsum("lkij,lj->lki", U, y)  # (L, K, 6)
     Wy = _pose_accumulate(obs_cam, Uy, P)
@@ -1002,6 +1009,11 @@ def cg_reduce_and_solve(
 ):
     """One damped-GN step via matrix-free Schur + PCG (bucketed).
 
+    Note for external callers: `cg_tol` default is the inexact-Newton
+    forcing term 1e-2 (it was 1e-6 before round 3) — LM accept/reject
+    gates step quality, so a tight linear solve is wasted matvecs. Pass
+    cg_tol explicitly if you need a tight solve.
+
     Returns (dxp (P,6), dxl (L,3), chi2, bp, bl, cg_n)."""
     P, L = problem.num_poses, problem.num_points
     r, U, Minv, Hpp_d, bp, bl, chi2 = _cg_context(
@@ -1027,7 +1039,11 @@ def cg_reduce_and_solve(
     dxp, cg_n = _pcg(matvec, rhs, Mp, problem.pose_fixed, cg_iters, cg_tol)
     dxp = jnp.where(problem.pose_fixed[:, None], 0.0, dxp)
 
-    Wt_dxp = jnp.einsum("lkij,lki->lj", U, _pose_gather(problem.obs_cam, dxp))
+    Wt_dxp = jnp.einsum(
+        "lkij,lki->lj",
+        U,
+        _pose_gather(problem.obs_cam, dxp, precision=jax.lax.Precision.HIGHEST),
+    )
     dxl = _apply_Ainv(Minv, -bl - Wt_dxp)
     dxl = jnp.where(problem.point_valid[:, None], dxl, 0.0)
     return dxp, dxl, chi2, bp, bl, cg_n

@@ -219,30 +219,34 @@ class LocalMapper:
         # and the fixed B avoids per-neighbor-count recompiles).
         own = lm_of(kf)
         if len(own):
+            # The neighbor list can reach 10 first-order + 5x5 second-order
+            # = 35 entries; process it in fixed-size chunks of B so every
+            # dispatch keeps ONE compiled shape while no neighbor is dropped.
             B = 24
-            nbs = neighbors[:B]
             pos, desc, val, normal, dmin, dmax = lm_buffer(own)
-            bR = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-            bt = np.zeros((B, 3), np.float32)
-            bxy = np.zeros((B,) + store.kf_xy.shape[1:], np.float32)
-            bdesc = np.zeros((B,) + store.kf_desc.shape[1:], np.uint32)
-            bval = np.zeros((B,) + store.kf_kp_valid.shape[1:], bool)
-            for i, nb in enumerate(nbs):
-                bR[i] = store.kf_R[nb]
-                bt[i] = store.kf_t[nb]
-                bxy[i] = store.kf_xy[nb]
-                bdesc[i] = store.kf_desc[nb]
-                bval[i] = store.kf_kp_valid[nb]
-            res = _project_and_match_many(
-                jnp.asarray(bR), jnp.asarray(bt),
-                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
-                jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
-                jnp.asarray(bxy), jnp.asarray(bdesc), jnp.asarray(bval),
-                self.cam, 3.0,
-            )
-            rv, ri = jax.device_get((res.valid, res.idx))
-            for i, nb in enumerate(nbs):
-                total += fuse_apply(nb, own, rv[i], ri[i])
+            for start in range(0, len(neighbors), B):
+                nbs = neighbors[start:start + B]
+                bR = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+                bt = np.zeros((B, 3), np.float32)
+                bxy = np.zeros((B,) + store.kf_xy.shape[1:], np.float32)
+                bdesc = np.zeros((B,) + store.kf_desc.shape[1:], np.uint32)
+                bval = np.zeros((B,) + store.kf_kp_valid.shape[1:], bool)
+                for i, nb in enumerate(nbs):
+                    bR[i] = store.kf_R[nb]
+                    bt[i] = store.kf_t[nb]
+                    bxy[i] = store.kf_xy[nb]
+                    bdesc[i] = store.kf_desc[nb]
+                    bval[i] = store.kf_kp_valid[nb]
+                res = _project_and_match_many(
+                    jnp.asarray(bR), jnp.asarray(bt),
+                    jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(val),
+                    jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+                    jnp.asarray(bxy), jnp.asarray(bdesc), jnp.asarray(bval),
+                    self.cam, 3.0,
+                )
+                rv, ri = jax.device_get((res.valid, res.idx))
+                for i, nb in enumerate(nbs):
+                    total += fuse_apply(nb, own, rv[i], ri[i])
         if total:
             touched = lm_of(kf)
             store.update_landmark_stats(touched[:512])
@@ -577,3 +581,8 @@ class LocalMapper:
         # Re-parent children in the spanning tree.
         children = np.where(store.parent == kf)[0]
         store.parent[children] = store.parent[kf]
+        # Direct writes above bypass the store's mutating methods; bump the
+        # version explicitly so the tracker's device-resident local-map cache
+        # (keyed on store.version) cannot serve a stale map containing this
+        # culled keyframe even if every erase_observation above was a no-op.
+        store.version += 1

@@ -252,7 +252,11 @@ def track_frame_step(
     # Close-point keyframe-rule counters (Tracking.cc:1730-1754): keypoints
     # with associated depth in (0, close_depth), split tracked / untracked.
     close = (frame.depth > 0) & (frame.depth < close_depth)
-    tracked_close = jnp.sum(jnp.where(m_valid, close[m_idx], False))
+    # Count per KEYPOINT, not per match: two landmarks matched to the same
+    # keypoint must contribute one close point (scatter-max de-duplicates;
+    # invalid matches contribute False regardless of where m_idx points).
+    kp_tracked = jnp.zeros(close.shape, bool).at[m_idx].max(m_valid)
+    tracked_close = jnp.sum(kp_tracked & close)
     total_close = jnp.sum(close)
 
     packed_i = jnp.stack(
@@ -772,6 +776,12 @@ class Tracker:
                 sub, lm_buffer, frame, self.cam
             )
             if int(n_ransac) >= self.cfg.min_inliers_track:
+                # prev_pose=seed_pose + zero velocity makes the stored
+                # constant-velocity estimate ~zero after this recovery.
+                # Intentional: the reference likewise invalidates the motion
+                # model after relocalization-style recovery (mVelocity is
+                # cleared when tracking is re-seeded, Tracking.cc:1503-1510)
+                # rather than trusting a delta across a tracking failure.
                 pose, velocity, packed_i, packed_f = track_frame_step(
                     seed_pose, jnp.zeros(6), lm_buffer, frame, self.cam,
                     self.cfg.match_radius_motion, self.cfg.match_radius_local,
