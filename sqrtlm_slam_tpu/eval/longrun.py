@@ -1,0 +1,119 @@
+"""Long-horizon full-system run: the KITTI-00-class operating point.
+
+The reference's real workload is a 4,500-frame KITTI-00 sequence through the
+whole pipeline (/root/reference/src/fusionsystem.cc:195-221). This driver
+reproduces that operating point hermetically: 1,000+ synthetic frames through
+`SlamSystem.track_depth` with loop detection ON, hundreds of keyframes
+arrived at through the REAL keyframe policy, culling active, multiple loop
+events on a multi-revolution ring.
+
+Run:  python -m sqrtlm_slam_tpu.eval.longrun --frames 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import resource
+import time
+
+import numpy as np
+
+
+def run_long(
+    n_frames: int = 1000,
+    radius: float = 42.0,
+    revolutions: float = 2.3,
+    n_points: int = 12000,
+    seed: int = 7,
+    max_keyframes: int = 1024,
+    max_landmarks: int = 200000,
+    max_features: int = 600,
+    progress_every: int = 50,
+    log=print,
+):
+    """Returns a dict of summary metrics (also printed)."""
+    from ..eval.ate import ate_rmse
+    from ..eval.synthetic import DEFAULT_CAM, ring_trajectory, ring_world
+    from ..frontend import orb
+    from ..loop import LoopClosingConfig
+    from ..pipeline.system import SlamSystem, SystemConfig
+
+    world = ring_world(seed=seed, n_points=n_points, radius=radius, band=6.0)
+    poses = ring_trajectory(n_frames, radius=radius, frac=revolutions)
+
+    cfg = SystemConfig(
+        orb=orb.ORBConfig(max_features=max_features),
+        loop_detection=True,
+        max_keyframes=max_keyframes,
+        max_landmarks=max_landmarks,
+    )
+    s = SlamSystem(DEFAULT_CAM, cfg, loop_cfg=LoopClosingConfig())
+
+    tracked = 0
+    t_start = time.perf_counter()
+    frame_times = []
+    for i, T in enumerate(poses):
+        img, depth = world.render(T, DEFAULT_CAM)
+        t0 = time.perf_counter()
+        ok = s.track_depth(img, depth) is not None
+        frame_times.append(time.perf_counter() - t0)
+        tracked += ok
+        if progress_every and (i + 1) % progress_every == 0:
+            n_kf = int(np.sum(s.store.kf_valid))
+            n_lm = int(np.sum(s.store.lm_valid))
+            log(
+                f"[longrun] frame {i + 1}/{n_frames} tracked={tracked} "
+                f"kf={n_kf} lm={n_lm} loops={s.loop_closer.num_loops_closed} "
+                f"med_ms={np.median(frame_times[-progress_every:]) * 1e3:.0f}"
+            )
+    wall = time.perf_counter() - t_start
+
+    est = s.get_trajectory()
+    gt = []
+    for T in poses[: len(est)]:
+        M = np.eye(4)
+        M[:3, :3] = np.asarray(T.R)
+        M[:3, 3] = np.asarray(T.t)
+        gt.append(np.linalg.inv(M))
+    rmse, _ = ate_rmse(est, np.stack(gt))
+
+    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    out = {
+        "frames": n_frames,
+        "tracked": tracked,
+        "keyframes": int(np.sum(s.store.kf_valid)),
+        "keyframes_created": int(s.store.num_kf),
+        "landmarks": int(np.sum(s.store.lm_valid)),
+        "landmarks_created": int(s.store.num_lm),
+        "loops_closed": int(s.loop_closer.num_loops_closed),
+        "ate_rmse_m": float(rmse),
+        "frames_per_s": n_frames / wall,
+        "median_frame_ms": float(np.median(frame_times) * 1e3),
+        "wall_s": wall,
+        "peak_rss_mb": peak_rss_mb,
+    }
+    log(f"[longrun] DONE {out}")
+    return out, s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--radius", type=float, default=42.0)
+    ap.add_argument("--revolutions", type=float, default=2.3)
+    ap.add_argument("--points", type=int, default=12000)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--features", type=int, default=600)
+    args = ap.parse_args()
+    run_long(
+        n_frames=args.frames,
+        radius=args.radius,
+        revolutions=args.revolutions,
+        n_points=args.points,
+        seed=args.seed,
+        max_features=args.features,
+    )
+
+
+if __name__ == "__main__":
+    main()

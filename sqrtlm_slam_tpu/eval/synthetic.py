@@ -40,8 +40,20 @@ class SyntheticWorld:
         )
         self.pattern_size = pattern_size
 
+    # Physical pattern size (m): patches project to `pattern_size` px at the
+    # reference depth below, and scale with 1/z like real-world texture —
+    # required for the scale-invariance model (MapPoint::PredictScale /
+    # octave-gated projection search) to hold on synthetic imagery.
+    ref_depth: float = 18.0
+
     def render(self, T_cw: se3.SE3, cam: Camera, H: int = 240, W: int = 320):
-        """Render (image, depth) from pose T_cw. Far points first (painter)."""
+        """Render (image, depth) from pose T_cw. Far points first (painter).
+
+        Pattern patches scale with projected size (nearest-neighbor resample
+        of each point's fixed micro-pattern), so approaching a point makes
+        its features detectable at higher pyramid octaves — matching the
+        physical scale model the ORB pyramid and the scale-aware projection
+        search assume."""
         R = np.asarray(T_cw.R)
         t = np.asarray(T_cw.t)
         x_c = self.points @ R.T + t
@@ -49,8 +61,22 @@ class SyntheticWorld:
         u = cam.fx * x_c[:, 0] / np.maximum(z, 1e-6) + cam.cx
         v = cam.fy * x_c[:, 1] / np.maximum(z, 1e-6) + cam.cy
         ps = self.pattern_size
-        half = ps // 2
-        ok = (z > 0.5) & (u >= half + 1) & (u < W - half - 1) & (v >= half + 1) & (v < H - half - 1)
+        # Projected patch size in px: ps at ref_depth, ∝ 1/z, bounded.
+        size = np.clip(
+            np.round(ps * self.ref_depth / np.maximum(z, 1e-6)).astype(np.int32),
+            3, 3 * ps,
+        )
+        size = size + (1 - size % 2)  # odd
+        half_all = size // 2
+        # Near clip at ref_depth/3: a physical patch closer than that would
+        # exceed the size cap (breaking the 1/z scale model) and in reality
+        # is motion-blurred / partially out of frame — drop it instead of
+        # painting a degenerate giant over the mid-field texture.
+        ok = (
+            (z > self.ref_depth / 3.0)
+            & (u >= half_all + 1) & (u < W - half_all - 1)
+            & (v >= half_all + 1) & (v < H - half_all - 1)
+        )
 
         img = np.full((H, W), 25.0, np.float32)
         depth = np.zeros((H, W), np.float32)
@@ -58,9 +84,14 @@ class SyntheticWorld:
         for i in order:
             if not ok[i]:
                 continue
+            s = int(size[i])
+            half = s // 2
+            # Nearest-neighbor resample of the 7x7 micro-pattern to s x s.
+            idx = (np.arange(s) * ps // s).astype(np.int32)
+            pat = self.patterns[i][np.ix_(idx, idx)]
             ui, vi = int(round(u[i])), int(round(v[i]))
             sl = (slice(vi - half, vi + half + 1), slice(ui - half, ui + half + 1))
-            img[sl] = np.maximum(img[sl], self.patterns[i])
+            img[sl] = np.maximum(img[sl], pat)
             depth[sl] = z[i]
         return jnp.asarray(img), jnp.asarray(depth)
 
@@ -76,6 +107,12 @@ def ring_world(seed: int = 0, n_points: int = 2000, radius: float = 12.0,
     w.points = np.stack(
         [np.cos(a) * r, rng.uniform(-2.0, 2.0, n_points), np.sin(a) * r], axis=-1
     ).astype(np.float32)
+    # Typical viewing distance on the ring is ~band..radius (the camera sits
+    # INSIDE the annulus), far below the default 18 m reference depth — set
+    # the physical pattern scale to match so mid-field points render at the
+    # nominal pattern size and the near clip (ref_depth/3) only drops
+    # genuinely degenerate close-passes.
+    w.ref_depth = max(band, 1.0) + 2.0
     return w
 
 

@@ -16,6 +16,7 @@ capacity index arrays with validity masks.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -116,6 +117,24 @@ def match_descriptors(
     return MatchResult(idx=best_idx.astype(jnp.int32), dist=best, valid=valid)
 
 
+def predict_octave(
+    dist: jnp.ndarray,
+    max_dist: jnp.ndarray,
+    scale_factor: float = 1.2,
+    num_levels: int = 8,
+) -> jnp.ndarray:
+    """Predicted pyramid level for a landmark seen at distance `dist`.
+
+    MapPoint::PredictScale semantics: level = ceil(log(maxDist/dist)/log(s))
+    clipped to [0, num_levels). `max_dist` is the landmark's scale-invariance
+    ceiling (store.lm_max_dist); entries that are not yet set (inf) predict
+    level 0 — callers should also disable the octave gate for those."""
+    ratio = max_dist / jnp.maximum(dist, 1e-6)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6)) / math.log(scale_factor))
+    lvl = jnp.where(jnp.isfinite(max_dist), lvl, 0.0)
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
 def projection_window_mask(
     uv_pred: jnp.ndarray,
     uv_kp: jnp.ndarray,
@@ -123,15 +142,24 @@ def projection_window_mask(
     octave_pred: Optional[jnp.ndarray] = None,
     octave_kp: Optional[jnp.ndarray] = None,
     level_slack: int = 1,
+    octave_gate: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(Q, T) mask: keypoint t within `radius` of projection q, optional
     pyramid-level compatibility (SearchByProjection r=7/15 semantics,
-    Tracking.cc:1503-1584)."""
+    Tracking.cc:1503-1584; octave window [pred-1, pred+1] and per-landmark
+    radius scaling mirror ORBmatcher.cc:88-105).
+
+    `radius` may be per-query (Q,) — the scale-aware search widens it by the
+    predicted level's scale factor. `octave_gate` (Q,) bool disables the
+    level gate per query (landmarks whose scale range is not yet set)."""
     d = uv_pred[:, None, :] - uv_kp[None, :, :]
     dist2 = jnp.sum(d * d, axis=-1)
     r = jnp.broadcast_to(jnp.asarray(radius, dtype=uv_pred.dtype), (uv_pred.shape[0],))
     mask = dist2 <= (r[:, None] * r[:, None])
     if octave_pred is not None and octave_kp is not None:
         dl = octave_kp[None, :] - octave_pred[:, None]
-        mask = mask & (dl >= -level_slack) & (dl <= level_slack)
+        level_ok = (dl >= -level_slack) & (dl <= level_slack)
+        if octave_gate is not None:
+            level_ok = level_ok | ~octave_gate[:, None]
+        mask = mask & level_ok
     return mask

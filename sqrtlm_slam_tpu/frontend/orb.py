@@ -62,7 +62,8 @@ class ORBConfig(NamedTuple):
     max_features: int = 2000  # reference cfg: 2000 (cfg/KITTI04-12.yaml)
     num_levels: int = 8  # pyramid 8 x 1.2 (Tracking.cc:116-120)
     scale_factor: float = 1.2
-    fast_threshold: int = 20  # iniThFAST 20 (cfg), minThFAST 7 fallback
+    fast_threshold: int = 20  # iniThFAST 20 (cfg/KITTI*.yaml)
+    fast_min_threshold: int = 7  # minThFAST: per-cell fallback re-detection
     cell_size: int = 32  # grid cell for top-k distribution
     per_cell: int = 4  # candidates kept per cell before global top-k
     patch_size: int = 31  # orientation patch
@@ -97,20 +98,13 @@ def features_per_level(cfg: ORBConfig) -> List[int]:
 # ----------------------------------------------------------------------------
 
 
-def fast_scores(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Dense FAST-9/16 corner score map. img: (H, W) float32 in [0, 255].
+def _score_from_diff(diff: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9/16 score map from the precomputed circle-difference stack.
 
-    Returns (H, W) scores; 0 where not a corner. Implemented as 16 rolled
-    copies + arc reduction — pure VPU work, no gather.
-    """
-    H, W = img.shape
-    center = img
-    # Shifted views: pixel p's circle neighbor k is img rolled by -offset.
-    neigh = jnp.stack(
-        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in _FAST_OFFSETS],
-        axis=0,
-    )  # (16, H, W)
-    diff = neigh - center[None]
+    diff: (16, H, W) neighbor-minus-center. Returns (H, W) NMS'd scores,
+    0 where not a corner. Shared by both detection thresholds so the
+    expensive part (the 16 rolled copies) is computed once."""
+    _, H, W = diff.shape
     brighter = diff > threshold
     darker = diff < -threshold
 
@@ -152,16 +146,66 @@ def fast_scores(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return jnp.where(in_border, score, 0.0)
 
 
-def grid_topk(score: jnp.ndarray, cell: int, per_cell: int, n_out: int):
+def _circle_diff(img: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W) Bresenham-circle neighbor-minus-center difference stack.
+
+    Shifted views: pixel p's circle neighbor k is img rolled by -offset."""
+    neigh = jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in _FAST_OFFSETS],
+        axis=0,
+    )  # (16, H, W)
+    return neigh - img[None]
+
+
+def fast_scores(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-9/16 corner score map. img: (H, W) float32 in [0, 255].
+
+    Returns (H, W) scores; 0 where not a corner. Implemented as 16 rolled
+    copies + arc reduction — pure VPU work, no gather.
+    """
+    return _score_from_diff(_circle_diff(img), threshold)
+
+
+def fast_scores_dual(
+    img: jnp.ndarray, threshold: float, min_threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score maps at BOTH detection thresholds from ONE difference stack.
+
+    The reference re-runs FAST at minThFAST=7 on cells that found nothing at
+    iniThFAST=20 (ORBextractor.cc:1045-1097); here both dense maps come out
+    of the shared (16, H, W) diff stack — the rolls are computed once, the
+    threshold comparisons are cheap VPU passes — and the per-cell fallback
+    happens in `grid_topk_fallback`."""
+    diff = _circle_diff(img)
+    return _score_from_diff(diff, threshold), _score_from_diff(diff, min_threshold)
+
+
+def grid_topk(
+    score: jnp.ndarray, cell: int, per_cell: int, n_out: int,
+    score_lo: jnp.ndarray | None = None,
+):
     """Spatially balanced keypoint selection: per-cell top-k then global top-n.
 
     Returns (xy (n_out, 2) float32 [x, y], scores (n_out,)); empty slots have
     score 0. Replaces DistributeOctTree (ORBextractor.cc:692).
+
+    `score_lo` (optional) is the minThFAST score map: cells where the primary
+    map found NO corner fall back to it (the reference's empty-cell
+    re-detection at threshold 7, ORBextractor.cc:1045-1097) — low-texture
+    regions still contribute keypoints instead of silently starving.
     """
     H, W = score.shape
     Hc, Wc = H // cell, W // cell
-    s = score[: Hc * cell, : Wc * cell].reshape(Hc, cell, Wc, cell)
-    s = s.transpose(0, 2, 1, 3).reshape(Hc * Wc, cell * cell)
+
+    def cells_of(sc):
+        c = sc[: Hc * cell, : Wc * cell].reshape(Hc, cell, Wc, cell)
+        return c.transpose(0, 2, 1, 3).reshape(Hc * Wc, cell * cell)
+
+    s = cells_of(score)
+    if score_lo is not None:
+        s_lo = cells_of(score_lo)
+        cell_has_hi = jnp.max(s, axis=1, keepdims=True) > 0
+        s = jnp.where(cell_has_hi, s, s_lo)
     top_s, top_i = jax.lax.top_k(s, per_cell)  # (cells, per_cell)
 
     cy = jnp.arange(Hc * Wc) // Wc
@@ -271,8 +315,13 @@ def compute_descriptors(
 
 def _extract_level(img_l, n_feats, cfg: ORBConfig):
     """Single-level extraction: scores -> grid top-k -> angle -> BRIEF."""
-    score = fast_scores(img_l, float(cfg.fast_threshold))
-    xy, s = grid_topk(score, cfg.cell_size, cfg.per_cell, n_feats)
+    if cfg.fast_min_threshold and cfg.fast_min_threshold < cfg.fast_threshold:
+        score, score_lo = fast_scores_dual(
+            img_l, float(cfg.fast_threshold), float(cfg.fast_min_threshold)
+        )
+    else:
+        score, score_lo = fast_scores(img_l, float(cfg.fast_threshold)), None
+    xy, s = grid_topk(score, cfg.cell_size, cfg.per_cell, n_feats, score_lo)
     valid = s > 0
 
     m10, m01 = _orientation_maps(img_l, cfg.patch_size)

@@ -70,7 +70,13 @@ class SlamSystem:
             feats_per_kf=cfg.orb.max_features,
             num_words=vocabulary.num_words if vocabulary is not None else 1000,
         )
-        self.tracker = Tracker(self.store, cam, cfg.tracking)
+        # The tracker's scale-aware projection search must agree with the
+        # extractor's pyramid shape (predicted octaves the extractor cannot
+        # produce would gate out every candidate).
+        tracking_cfg = cfg.tracking._replace(
+            num_levels=cfg.orb.num_levels, scale_factor=cfg.orb.scale_factor
+        )
+        self.tracker = Tracker(self.store, cam, tracking_cfg)
         self.local_mapper = LocalMapper(self.store, cam, cfg.local_mapping)
         self.tracker.new_kf_callback = self._on_new_keyframe
         self.tracker.vocab_hook = self._assign_words

@@ -60,6 +60,10 @@ class TrackingConfig(NamedTuple):
     lidar_min_map_pts: int = 100  # only couple if the local map is populated
     lidar_match_dist: float = 0.45  # NN gate, sqrt(0.2 m^2) reference radius
     lidar_map_kfs: int = 10  # KFs aggregated into the lidar local map
+    # Pyramid shape for scale-aware projection search (ORBmatcher.cc:88-105);
+    # MUST match the extractor's ORBConfig (SlamSystem syncs them).
+    num_levels: int = 8
+    scale_factor: float = 1.2
 
 
 class TrackState:
@@ -75,15 +79,42 @@ class LocalMapBuffer(NamedTuple):
     pos: jnp.ndarray  # (M, 3)
     desc: jnp.ndarray  # (M, 8) uint32
     valid: jnp.ndarray  # (M,)
+    max_dist: jnp.ndarray  # (M,) scale-invariance ceiling (inf = not set)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "radius_px"))
+def _scale_aware_window(
+    x_c, uv_pred, lm: LocalMapBuffer, frame: Frame, radius_px,
+    num_levels: int = 8, scale_factor: float = 1.2,
+):
+    """Projection window with the reference's scale-aware semantics
+    (ORBmatcher.cc:88-105): per-landmark radius = r * scaleFactor^predicted
+    level, keypoint octave gated to [pred-1, pred+1]. Landmarks whose scale
+    range is not yet set (max_dist inf) keep the base radius and no gate.
+    num_levels/scale_factor MUST match the extractor's pyramid — a predicted
+    level the extractor cannot produce would gate out every candidate."""
+    dist = jnp.linalg.norm(x_c, axis=-1)
+    pred = matching.predict_octave(
+        dist, lm.max_dist, scale_factor=scale_factor, num_levels=num_levels
+    )
+    gate = jnp.isfinite(lm.max_dist)
+    radius = radius_px * jnp.power(scale_factor, pred.astype(jnp.float32))
+    return matching.projection_window_mask(
+        uv_pred, frame.kp.xy, radius,
+        octave_pred=pred, octave_kp=frame.kp.octave, octave_gate=gate,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "radius_px", "num_levels", "scale_factor")
+)
 def match_and_optimize(
     pose_guess: se3.SE3,
     lm: LocalMapBuffer,
     frame: Frame,
     cam: Camera,
     radius_px: float,
+    num_levels: int = 8,
+    scale_factor: float = 1.2,
 ):
     """One tracking stage: project landmarks, window-match, pose-only LM.
 
@@ -101,7 +132,9 @@ def match_and_optimize(
     proj_ok = lm.valid & in_front
 
     if radius_px > 0:
-        window = matching.projection_window_mask(uv_pred, frame.kp.xy, radius_px)
+        window = _scale_aware_window(
+            x_c, uv_pred, lm, frame, radius_px, num_levels, scale_factor
+        )
         ratio = 0.9
     else:
         window = None
@@ -128,7 +161,10 @@ def match_and_optimize(
     return result.pose, res.idx, res.valid & result.inlier_mask, result.num_inliers
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "radius_px", "match_dist"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "radius_px", "match_dist", "num_levels", "scale_factor"),
+)
 def match_and_optimize_fused(
     pose_guess: se3.SE3,
     lm: LocalMapBuffer,
@@ -137,6 +173,8 @@ def match_and_optimize_fused(
     radius_px: float,
     lidar_map: lidar_odometry.LocalMap,
     match_dist: float,
+    num_levels: int = 8,
+    scale_factor: float = 1.2,
 ):
     """Tracking stage with LiDAR tight coupling: visual window matching +
     voxel-hash NN association of the frame's corner/flat features against
@@ -147,7 +185,9 @@ def match_and_optimize_fused(
     x_c = se3.act(pose_guess, lm.pos)
     uv_pred = cam.project(x_c)
     proj_ok = lm.valid & (x_c[..., 2] > 0.5)
-    window = matching.projection_window_mask(uv_pred, frame.kp.xy, radius_px)
+    window = _scale_aware_window(
+        x_c, uv_pred, lm, frame, radius_px, num_levels, scale_factor
+    )
     res = matching.match_descriptors(
         lm.desc, frame.kp.desc, proj_ok, frame.kp.valid,
         window_mask=window, max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
@@ -193,7 +233,8 @@ def match_and_optimize_fused(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cam", "r_motion", "r_local", "min_inliers", "close_depth", "match_dist"
+        "cam", "r_motion", "r_local", "min_inliers", "close_depth", "match_dist",
+        "num_levels", "scale_factor",
     ),
 )
 def track_frame_step(
@@ -208,6 +249,8 @@ def track_frame_step(
     close_depth: float,
     lidar_map=None,
     match_dist: float = 0.45,
+    num_levels: int = 8,
+    scale_factor: float = 1.2,
 ):
     """The WHOLE per-frame device computation in one dispatch.
 
@@ -227,10 +270,11 @@ def track_frame_step(
     for the next frame; only the packed pair needs fetching.
     """
     guess = se3.retract(prev_pose, velocity)
-    outA = match_and_optimize(guess, lm, frame, cam, r_motion)
+    pyr = dict(num_levels=num_levels, scale_factor=scale_factor)
+    outA = match_and_optimize(guess, lm, frame, cam, r_motion, **pyr)
 
     def widen(_):
-        return match_and_optimize(guess, lm, frame, cam, r_motion * 2)
+        return match_and_optimize(guess, lm, frame, cam, r_motion * 2, **pyr)
 
     def keep(_):
         return outA
@@ -239,11 +283,11 @@ def track_frame_step(
 
     if lidar_map is not None:
         pose, m_idx, m_valid, n_inl, n_lidar = match_and_optimize_fused(
-            poseA, lm, frame, cam, r_local, lidar_map, match_dist
+            poseA, lm, frame, cam, r_local, lidar_map, match_dist, **pyr
         )
     else:
         pose, m_idx, m_valid, n_inl = match_and_optimize(
-            poseA, lm, frame, cam, r_local
+            poseA, lm, frame, cam, r_local, **pyr
         )
         n_lidar = jnp.asarray(0, jnp.int32)
 
@@ -383,7 +427,13 @@ class Tracker:
             )
             lm_ids = np.unique(self.store.kf_obs_lm[kfs])
             lm_ids = lm_ids[(lm_ids >= 0)]
-            lm_ids = lm_ids[self.store.lm_valid[lm_ids]][:cap]
+            lm_ids = lm_ids[self.store.lm_valid[lm_ids]]
+            if len(lm_ids) > cap:
+                # Over capacity: keep the NEWEST landmark ids — they were
+                # triangulated from recent keyframes, so they are the ones
+                # most likely in the current frustum with fresh descriptors
+                # (truncating to the oldest silently serves a stale map).
+                lm_ids = lm_ids[-cap:]
             buf = self._buffer_from_ids(lm_ids)
         self._lm_cache_key = key
         self._lm_cache = buf
@@ -396,15 +446,18 @@ class Tracker:
         pos = np.zeros((cap, 3), np.float32)
         desc = np.zeros((cap, 8), np.uint32)
         valid = np.zeros(cap, bool)
+        max_dist = np.full(cap, np.inf, np.float32)
         ids[:n] = lm_ids
         pos[:n] = self.store.lm_pos[lm_ids]
         desc[:n] = self.store.lm_desc[lm_ids]
         valid[:n] = True
+        max_dist[:n] = self.store.lm_max_dist[lm_ids]
         return LocalMapBuffer(
             ids=jnp.asarray(ids),
             pos=jnp.asarray(pos),
             desc=jnp.asarray(desc),
             valid=jnp.asarray(valid),
+            max_dist=jnp.asarray(max_dist),
         )
 
     # ------------------------------------------------------------------
@@ -765,6 +818,7 @@ class Tracker:
             self.cfg.match_radius_motion, self.cfg.match_radius_local,
             self.cfg.min_inliers_track, self.cfg.close_depth,
             lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
+            num_levels=self.cfg.num_levels, scale_factor=self.cfg.scale_factor,
         )
         packed_i, packed_f = jax.device_get((packed_i, packed_f))
 
@@ -787,6 +841,8 @@ class Tracker:
                     self.cfg.match_radius_motion, self.cfg.match_radius_local,
                     self.cfg.min_inliers_track, self.cfg.close_depth,
                     lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
+                    num_levels=self.cfg.num_levels,
+                    scale_factor=self.cfg.scale_factor,
                 )
                 packed_i, packed_f = jax.device_get((packed_i, packed_f))
 

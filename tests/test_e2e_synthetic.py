@@ -17,8 +17,12 @@ from sqrtlm_slam_tpu.pipeline.tracking import TrackState
 
 
 def small_system():
+    # Full 8-level pyramid: the scale-realistic renderer grows features up
+    # to 3x over this trajectory (near clip at ref_depth/3), which a
+    # truncated pyramid cannot normalize — the same reason the reference
+    # runs 8 levels (Tracking.cc:116-120).
     cfg = SystemConfig(
-        orb=orb.ORBConfig(max_features=600, num_levels=3),
+        orb=orb.ORBConfig(max_features=600),
         tracking=TrackingConfig(init_min_depth_kp=80, local_map_capacity=1024),
         max_keyframes=64,
         max_landmarks=8000,

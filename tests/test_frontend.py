@@ -119,3 +119,89 @@ class TestMatching:
             desc, desc, valid, valid, ratio=0.8, mutual=False
         )
         assert int(jnp.sum(res.valid)) == 0
+
+
+class TestMinThresholdFallback:
+    """minThFAST per-cell re-detection (ORBextractor.cc:1045-1097): cells
+    that starve at iniThFAST=20 fall back to threshold 7."""
+
+    def _low_contrast_image(self, H=240, W=320):
+        # Blobs only ~12 gray levels above background: invisible at
+        # threshold 20, detectable at 7.
+        img = np.asarray(random_dots_image(KEY)).copy()
+        return jnp.asarray(30.0 + (img - 30.0) * (12.0 / 190.0))
+
+    def test_low_texture_frame_starves_without_fallback(self):
+        img = self._low_contrast_image()
+        cfg = orb.ORBConfig(max_features=300, num_levels=2, fast_min_threshold=0)
+        kp = orb.extract(img, cfg)
+        assert int(jnp.sum(kp.valid)) == 0
+
+    def test_low_texture_frame_tracks_with_fallback(self):
+        img = self._low_contrast_image()
+        cfg = orb.ORBConfig(max_features=300, num_levels=2)  # default minTh=7
+        kp = orb.extract(img, cfg)
+        assert int(jnp.sum(kp.valid)) > 80, int(jnp.sum(kp.valid))
+
+    def test_high_threshold_corners_keep_priority(self):
+        """Cells that DO fire at the high threshold are untouched by the
+        fallback (same selection as the single-threshold path)."""
+        img = random_dots_image(KEY)
+        hi, lo = orb.fast_scores_dual(img, 20.0, 7.0)
+        xy_a, s_a = orb.grid_topk(hi, 32, 4, 200)
+        xy_b, s_b = orb.grid_topk(hi, 32, 4, 200, score_lo=lo)
+        # Every high-threshold keypoint survives with the fallback enabled.
+        set_a = {tuple(p) for p in np.asarray(xy_a[np.asarray(s_a) > 0]).tolist()}
+        set_b = {tuple(p) for p in np.asarray(xy_b[np.asarray(s_b) > 0]).tolist()}
+        assert set_a <= set_b
+
+
+class TestScaleAwareSearch:
+    """Octave prediction + scale-widened projection windows
+    (ORBmatcher.cc:88-105, MapPoint::PredictScale)."""
+
+    def test_predict_octave_monotone_in_distance(self):
+        max_dist = jnp.full((5,), 40.0)
+        dist = jnp.asarray([40.0, 25.0, 16.0, 8.0, 2.0])
+        lvl = matching.predict_octave(dist, max_dist)
+        l = np.asarray(lvl)
+        assert l[0] == 0
+        assert all(l[i] <= l[i + 1] for i in range(4)), l
+        assert l[-1] == min(int(np.ceil(np.log(20.0) / np.log(1.2))), 7)
+
+    def test_predict_octave_unset_range_is_level0(self):
+        lvl = matching.predict_octave(jnp.asarray([5.0]), jnp.asarray([np.inf]))
+        assert int(lvl[0]) == 0
+
+    def test_window_mask_octave_gate(self):
+        uv_pred = jnp.zeros((1, 2))
+        uv_kp = jnp.zeros((3, 2))
+        oct_kp = jnp.asarray([0, 3, 7], jnp.int32)
+        m = matching.projection_window_mask(
+            uv_pred, uv_kp, 5.0,
+            octave_pred=jnp.asarray([3], jnp.int32), octave_kp=oct_kp,
+            octave_gate=jnp.asarray([True]),
+        )
+        assert np.asarray(m)[0].tolist() == [False, True, False]
+        # Gate disabled -> radius-only mask.
+        m2 = matching.projection_window_mask(
+            uv_pred, uv_kp, 5.0,
+            octave_pred=jnp.asarray([3], jnp.int32), octave_kp=oct_kp,
+            octave_gate=jnp.asarray([False]),
+        )
+        assert np.asarray(m2)[0].tolist() == [True, True, True]
+
+    def test_window_radius_scales_with_predicted_level(self):
+        # Landmark at predicted level 3 gets radius r * 1.2^3.
+        uv_pred = jnp.zeros((1, 2))
+        kp_at = 8.0
+        uv_kp = jnp.asarray([[kp_at, 0.0]])
+        from sqrtlm_slam_tpu.pipeline import tracking as tr
+
+        r = 7.0 * 1.2**3
+        assert kp_at < r  # in window once scaled
+        radius = 7.0 * jnp.power(1.2, jnp.asarray([3.0]))
+        m = matching.projection_window_mask(uv_pred, uv_kp, radius)
+        assert bool(np.asarray(m)[0, 0])
+        m0 = matching.projection_window_mask(uv_pred, uv_kp, 7.0)
+        assert not bool(np.asarray(m0)[0, 0])
