@@ -84,17 +84,23 @@ def from_flat(problem, K: int) -> BucketedBAProblem:
     uvr_b = np.full((L, K, 3), -1.0, np.float32)
     is2_b = np.ones((L, K), np.float32)
     val_b = np.zeros((L, K), bool)
-    fill = np.zeros(L, np.int32)
-    for e in np.nonzero(obs_val)[0]:
-        l = obs_pt[e]
-        s = fill[l]
-        if s >= K:
-            raise ValueError(f"landmark {l} has more than K={K} observations")
-        cam_b[l, s] = obs_cam[e]
-        uvr_b[l, s] = obs_uvr[e]
-        is2_b[l, s] = obs_is2[e]
-        val_b[l, s] = True
-        fill[l] = s + 1
+    # Argsort compaction instead of a per-edge Python loop (the loop costs
+    # seconds at the 6e5-edge scale shape): stable-sort valid edges by
+    # landmark, then slot k of landmark l = rank within its run.
+    ev = np.nonzero(obs_val)[0]
+    lv = obs_pt[ev]
+    order = np.argsort(lv, kind="stable")
+    ev, lv = ev[order], lv[order]
+    counts = np.bincount(lv, minlength=L)
+    if counts.max(initial=0) > K:
+        worst = int(np.argmax(counts))
+        raise ValueError(f"landmark {worst} has more than K={K} observations")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(ev)) - starts[lv]
+    cam_b[lv, slot] = obs_cam[ev]
+    uvr_b[lv, slot] = obs_uvr[ev]
+    is2_b[lv, slot] = obs_is2[ev]
+    val_b[lv, slot] = True
     return BucketedBAProblem(
         pose_R=problem.pose_R,
         pose_t=problem.pose_t,
@@ -471,7 +477,122 @@ def _hinv_rows(minv6, b3):
     )
 
 
-def _pieces_tail_rows(problem, rows, mu, O) -> RowsPieces:
+class ChunkPlan(NamedTuple):
+    """Loop-constant layout for the banded (chunked) S-Gram product.
+
+    The dense reduced-system product S_corr = Y Y^T contracts over ALL
+    landmarks for EVERY pose pair — 1.6e10 flops at the bench shape — yet
+    covisibility makes Y block-banded: a landmark's observations touch a
+    handful of nearby keyframes (SURVEY §5.7, the locality the reference's
+    sparse CHOLMOD exploits implicitly). Chunking landmarks by index (map
+    stores create them in keyframe order, so index ≈ pose locality) and
+    forming each chunk's Gram over a small local pose WINDOW cuts the
+    product to C·(6W)²·3Lc flops (~36x at the bench shape). Landmarks whose
+    observations escape their chunk's window (loop closures) fall back to
+    the exact dense product, gated by lax.cond so the common all-covered
+    case never pays for it.
+
+    Built once per LM loop from the (loop-constant) observation graph."""
+
+    Ol: jnp.ndarray  # (K, C, W, Lc) local one-hot (bf16 on TPU)
+    wc: jnp.ndarray  # (C,) int32 window start pose of each chunk
+    E6: jnp.ndarray  # (C, P*6, W*6) block-placement one-hot kron(Ec, I6)
+    cov: jnp.ndarray  # (L,) bool — landmark fully inside its chunk window
+    n_uncovered: jnp.ndarray  # () int32
+
+    @property
+    def W(self):
+        return self.Ol.shape[2]
+
+    @property
+    def Lc(self):
+        return self.Ol.shape[3]
+
+
+def plan_chunks(
+    cam_t: jnp.ndarray, wvalid: jnp.ndarray, P: int,
+    Lc: int = 256, W: int = 16, y_bf16: Optional[bool] = None,
+) -> Optional[ChunkPlan]:
+    """Build the chunked-Gram layout from the (K, L) camera assignment.
+
+    cam_t: (K, L) int32 pose per slot; wvalid: (K, L) bool active slots.
+    Returns None when the shape cannot chunk (L not a multiple of Lc, or
+    the window would not fit a meaningful band)."""
+    K, L = cam_t.shape
+    if L % Lc != 0 or P <= W:
+        return None
+    C = L // Lc
+    camc = cam_t.reshape(K, C, Lc)
+    act = wvalid.reshape(K, C, Lc)
+    cam_for_min = jnp.where(act, camc, P)
+    wc = jnp.min(cam_for_min, axis=(0, 2))  # (C,)
+    wc = jnp.clip(wc, 0, max(P - W, 0)).astype(jnp.int32)
+    rel = camc - wc[None, :, None]
+    inwin = (rel >= 0) & (rel < W)
+    cov = jnp.all(inwin | ~act, axis=0).reshape(L)  # (L,)
+    if y_bf16 is None:
+        y_bf16 = jax.default_backend() == "tpu"
+    o_dtype = jnp.bfloat16 if y_bf16 else jnp.float32
+    relc = jnp.clip(rel, 0, W - 1)
+    # one_hot appends the class axis last -> (K, C, Lc, W); move W before Lc
+    # so landmarks stay on lanes. Loop-constant: the transpose happens once.
+    Ol = jnp.moveaxis(
+        jax.nn.one_hot(relc, W, dtype=o_dtype), -1, 2
+    ) * act[:, :, None, :].astype(o_dtype)
+    # Block placement at 6-dof granularity: E6[c, 6p+i, 6w+j] = (p == wc+w)
+    # * (i == j) — i.e. kron(Ec, I6). Loop-constant; lets the chunk Grams be
+    # placed with two clean batched MXU matmuls (no trailing-6 lane padding,
+    # no sequential per-chunk scatter).
+    Ec = jnp.swapaxes(
+        jax.nn.one_hot(wc[:, None] + jnp.arange(W)[None, :], P), 1, 2
+    )  # (C, P, W)
+    E6 = jnp.einsum("cpw,ij->cpiwj", Ec, jnp.eye(6)).reshape(
+        C, P * 6, W * 6
+    ).astype(o_dtype)
+    n_unc = jnp.sum(~cov)
+    return ChunkPlan(Ol=Ol, wc=wc, E6=E6, cov=cov, n_uncovered=n_unc)
+
+
+def _chunked_S_corr(V18, plan: ChunkPlan, O, P: int):
+    """S_corr = Y Y^T via per-chunk local-window Grams + block scatter.
+
+    Exact: covered landmarks contribute through their chunk's (6W, 6W)
+    Gram placed at the window's block offset; uncovered landmarks (if any)
+    contribute through the original dense product, executed only when
+    n_uncovered > 0 (lax.cond)."""
+    K, C, W, Lc = plan.Ol.shape
+    covm = plan.cov.astype(V18.dtype)
+    V18c = (V18 * covm).reshape(18, K, C, Lc)
+    Yc = jnp.einsum("kcwl,xkcl->xcwl", plan.Ol, V18c)  # (18, C, W, Lc)
+    Y6c = Yc.reshape(6, 3, C, W, Lc)
+    Sc = jnp.einsum(
+        "imcal,jmcbl->caibj", Y6c, Y6c, preferred_element_type=jnp.float32
+    ).reshape(C, W * 6, W * 6)
+
+    # Batched block placement (NO sequential per-chunk scan — 32 chained
+    # dynamic_update_slices were latency-bound at ~0.2 ms): two batched
+    # MXU matmuls against the kron(Ec, I6) placement one-hot. DEFAULT
+    # precision is fine: the dense path's S is built from bf16 Y products
+    # at DEFAULT too, and the LM loop gates on an exact chi2.
+    T1 = jnp.einsum("cra,cab->crb", plan.E6, Sc.astype(plan.E6.dtype))
+    S_corr = jnp.einsum(
+        "crb,csb->rs", T1, plan.E6, preferred_element_type=jnp.float32
+    )
+
+    def add_uncovered(S):
+        Vu = V18 * (~plan.cov).astype(V18.dtype)
+        Yp = jnp.einsum("kpl,xkl->xpl", O.astype(V18.dtype), Vu)
+        Y6 = Yp.reshape(6, 3, P, -1)
+        return S + jnp.einsum(
+            "imal,jmbl->aibj", Y6, Y6, preferred_element_type=jnp.float32
+        ).reshape(P * 6, P * 6)
+
+    return jax.lax.cond(
+        plan.n_uncovered > 0, add_uncovered, lambda S: S, S_corr
+    )
+
+
+def _pieces_tail_rows(problem, rows, mu, O, plan: Optional[ChunkPlan] = None) -> RowsPieces:
     """_pieces_tail in rows layout (Pallas-path fast tail).
 
     `rows` is assembly_pallas.AssemblyRows; `O` is the loop-constant
@@ -502,13 +623,17 @@ def _pieces_tail_rows(problem, rows, mu, O) -> RowsPieces:
         ]
     ).astype(y_dtype)  # (18, K, L)
 
-    # Pose-scatter WITHOUT the (P, L, 6, 3) dense intermediate of _build_Y:
-    # Y'[x, p, l] = sum_k O[k, p, l] V18[x, k, l], then the Gram product.
-    Yp = jnp.einsum("kpl,xkl->xpl", O.astype(y_dtype), V18)
-    Y6 = Yp.reshape(6, 3, P, L)
-    S_half = -jnp.einsum(
-        "imal,jmbl->aibj", Y6, Y6, preferred_element_type=jnp.float32
-    ).reshape(P * 6, P * 6)
+    if plan is not None:
+        # Banded fast path: per-chunk local-window Grams (see ChunkPlan).
+        S_half = -_chunked_S_corr(V18, plan, O, P)
+    else:
+        # Pose-scatter WITHOUT the (P, L, 6, 3) dense intermediate of
+        # _build_Y: Y'[x, p, l] = sum_k O[k, p, l] V18[x, k, l], then Gram.
+        Yp = jnp.einsum("kpl,xkl->xpl", O.astype(y_dtype), V18)
+        Y6 = Yp.reshape(6, 3, P, L)
+        S_half = -jnp.einsum(
+            "imal,jmbl->aibj", Y6, Y6, preferred_element_type=jnp.float32
+        ).reshape(P * 6, P * 6)
     dpp = jnp.diagonal(rows.Hpp, axis1=-2, axis2=-1)
     Hpp_d = rows.Hpp + (mu * dpp[..., None] + 1e-8) * jnp.eye(6, dtype=dtype)
     S_half = S_half + jnp.einsum(
@@ -655,6 +780,10 @@ def ba_iterate(
         # Loop-constant one-hot camera assignment in (K, P, L) layout for
         # the rows-layout tail (scatter/gather by MXU/elementwise chains).
         O = jax.nn.one_hot(prep.cam_t, problem.num_poses, axis=1)
+        # Loop-constant banded-Gram layout (chunked S_corr — see ChunkPlan).
+        plan = plan_chunks(
+            prep.cam_t, prep.w_t > 0, problem.num_poses
+        )
 
         def reduce_fn(prob):
             return assembly_pallas.assemble_prepared_rows(
@@ -662,7 +791,7 @@ def ba_iterate(
             )
 
         def step_fn(prob, red, mu):
-            pieces = _pieces_tail_rows(prob, red, mu, O)
+            pieces = _pieces_tail_rows(prob, red, mu, O, plan)
             rhs = -(pieces.bp.reshape(-1) - pieces.rhs_corr)
             dxp = solve_pose_system(pieces.S_half, rhs, prob.pose_fixed)
             dxp = jnp.where(prob.pose_fixed[:, None], 0.0, dxp)

@@ -98,21 +98,22 @@ def partition_problem(problem: schur.BAProblem, n_shards: int) -> Tuple[ShardedB
     o_uvr = np.full((n_shards, Es, 3), -1.0, np.float32)
     o_is2 = np.ones((n_shards, Es), np.float32)
     o_val = np.zeros((n_shards, Es), bool)
-    fill = np.zeros(n_shards, np.int32)
     cam_np = np.asarray(problem.obs_cam)
     uvr_np = np.asarray(problem.obs_uvr)
     is2_np = np.asarray(problem.obs_inv_sigma2)
-    for e in range(E):
-        if not obs_valid[e]:
-            continue
-        d = shard_of[e]
-        j = fill[d]
-        o_cam[d, j] = cam_np[e]
-        o_pt[d, j] = slot_of[e]
-        o_uvr[d, j] = uvr_np[e]
-        o_is2[d, j] = is2_np[e]
-        o_val[d, j] = True
-        fill[d] += 1
+    # Argsort compaction (no per-edge Python loop): stable-sort valid edges
+    # by shard; the within-shard fill index is the rank inside the run.
+    ev = np.nonzero(obs_valid)[0]
+    dv = shard_of[ev]
+    order = np.argsort(dv, kind="stable")
+    ev, dv = ev[order], dv[order]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    j = np.arange(len(ev)) - starts[dv]
+    o_cam[dv, j] = cam_np[ev]
+    o_pt[dv, j] = slot_of[ev]
+    o_uvr[dv, j] = uvr_np[ev]
+    o_is2[dv, j] = is2_np[ev]
+    o_val[dv, j] = True
 
     sharded = ShardedBAProblem(
         pose_R=problem.pose_R,
