@@ -133,10 +133,21 @@ def _bench_tracking(n_frames: int = 24) -> None:
     from sqrtlm_slam_tpu.frontend import orb
     from sqrtlm_slam_tpu.pipeline.system import SlamSystem, SystemConfig
 
+    from sqrtlm_slam_tpu.pipeline.tracking import TrackingConfig
+
     world = SyntheticWorld(seed=1, n_points=1200)
     poses = forward_trajectory(n_frames, step=0.3)
     frames = [world.render(T, DEFAULT_CAM) for T in poses]
-    s = SlamSystem(DEFAULT_CAM, SystemConfig(orb=orb.ORBConfig(max_features=1000)))
+    # Pipelined steady state (deferred fetch): the production-fast tracking
+    # mode — frame t's results are fetched after frame t+1's dispatch, so
+    # the per-frame tunnel RTTs overlap device compute.
+    s = SlamSystem(
+        DEFAULT_CAM,
+        SystemConfig(
+            orb=orb.ORBConfig(max_features=1000),
+            tracking=TrackingConfig(pipelined=True),
+        ),
+    )
     warm = min(5, len(frames))
     for img, depth in frames[:warm]:
         s.track_depth(img, depth)

@@ -81,14 +81,28 @@ class SyntheticWorld:
         img = np.full((H, W), 25.0, np.float32)
         depth = np.zeros((H, W), np.float32)
         order = np.argsort(-z)  # far -> near
+        # Bilinear resample weights per distinct size (cached): NEAREST
+        # resampling aliases as projected size changes between frames, which
+        # flickers BRIEF bits and collapses frame-to-frame matchability
+        # (measured ~25% mutual-match rate); bilinear is stable under
+        # sub-pixel scale changes like a real camera's PSF.
+        interp = {}
+        for s in np.unique(size[ok]):
+            g = np.linspace(0, ps - 1, int(s))
+            i0 = np.floor(g).astype(np.int32)
+            i1 = np.minimum(i0 + 1, ps - 1)
+            w = (g - i0).astype(np.float32)
+            interp[int(s)] = (i0, i1, w)
+
         for i in order:
             if not ok[i]:
                 continue
             s = int(size[i])
             half = s // 2
-            # Nearest-neighbor resample of the 7x7 micro-pattern to s x s.
-            idx = (np.arange(s) * ps // s).astype(np.int32)
-            pat = self.patterns[i][np.ix_(idx, idx)]
+            i0, i1, w = interp[s]
+            P = self.patterns[i]
+            rows = P[i0] * (1 - w)[:, None] + P[i1] * w[:, None]
+            pat = rows[:, i0] * (1 - w)[None, :] + rows[:, i1] * w[None, :]
             ui, vi = int(round(u[i])), int(round(v[i]))
             sl = (slice(vi - half, vi + half + 1), slice(ui - half, ui + half + 1))
             img[sl] = np.maximum(img[sl], pat)
@@ -107,12 +121,12 @@ def ring_world(seed: int = 0, n_points: int = 2000, radius: float = 12.0,
     w.points = np.stack(
         [np.cos(a) * r, rng.uniform(-2.0, 2.0, n_points), np.sin(a) * r], axis=-1
     ).astype(np.float32)
-    # Typical viewing distance on the ring is ~band..radius (the camera sits
-    # INSIDE the annulus), far below the default 18 m reference depth — set
-    # the physical pattern scale to match so mid-field points render at the
-    # nominal pattern size and the near clip (ref_depth/3) only drops
-    # genuinely degenerate close-passes.
-    w.ref_depth = max(band, 1.0) + 2.0
+    # Typical viewing distance on the ring: looking tangent, the circle
+    # curves out of the band after arc length ~sqrt(2*radius*band) — that
+    # IS the usable sight distance, so set the physical pattern scale to it
+    # (points render at the nominal pattern size there; the near clip at
+    # ref_depth/3 only drops genuinely degenerate close passes).
+    w.ref_depth = float(max(band + 2.0, np.sqrt(2.0 * radius * band)))
     return w
 
 

@@ -141,6 +141,7 @@ class SlamSystem:
 
     def shutdown(self):
         """System::Shutdown (System.cc:346-360): drain + stop the worker."""
+        self.tracker.flush()
         if self._kf_queue is not None and not self._shutdown:
             self._kf_queue.join()
             self._kf_queue.put(None)
@@ -281,6 +282,7 @@ class SlamSystem:
         global map cloud, the local-map cloud around the reference KF, and
         the current KF's LiDAR feature clouds. Pure numpy — safe to hand to
         a separate plotting/rviz-style consumer."""
+        self.tracker.flush()
         store, tracker = self.store, self.tracker
         kfs = np.where(store.kf_valid[: store.num_kf])[0]
         lms = np.where(store.lm_valid[: store.num_lm])[0]
@@ -322,6 +324,7 @@ class SlamSystem:
         """Per-frame camera-to-world 4x4 poses, recovered as
         T_wc = (T_rel · T_ref_w)^{-1} with the *current* (BA/loop-corrected)
         reference keyframe poses (System.cc:503-560 semantics)."""
+        self.tracker.flush()  # finalize any deferred (pipelined) frame
         out = []
         for frame_id, ref_kf, R_rel, t_rel in self.tracker.trajectory:
             R_ref = self.store.kf_R[ref_kf]

@@ -64,6 +64,11 @@ class TrackingConfig(NamedTuple):
     # MUST match the extractor's ORBConfig (SlamSystem syncs them).
     num_levels: int = 8
     scale_factor: float = 1.2
+    # Deferred-fetch steady-state tracking (see Tracker.track): frame t's
+    # results are fetched only after frame t+1's dispatch, hiding the
+    # host<->device RTT. Off by default: the sync driver is deterministic
+    # (tests, evaluation) and has no one-frame decision latency.
+    pipelined: bool = False
 
 
 class TrackState:
@@ -410,6 +415,9 @@ class Tracker:
         self._lm_cache: Optional[LocalMapBuffer] = None
         self._lidar_cache_key = None
         self._lidar_cache = None
+        # Deferred frame (pipelined mode): results of the newest dispatched
+        # step, fetched at the next track()/flush().
+        self._pending = None
 
     # ------------------------------------------------------------------
 
@@ -612,16 +620,20 @@ class Tracker:
         self._record_trajectory()
         return True
 
-    def _insert_keyframe(self, frame: Frame, pose_R_h=None, pose_t_h=None) -> int:
+    def _insert_keyframe(
+        self, frame: Frame, pose_R_h=None, pose_t_h=None, frame_id=None
+    ) -> int:
         """Create a keyframe + landmarks from depth (CreateNewKeyFrame).
 
         New landmarks come from depth-carrying keypoints not already matched
         to the map, nearest-first, capped (UpdateLastFrame/CreateNewKeyFrame
         close-point creation, Tracking.cc:1385-1492, 1846-1953)."""
         with self.map_lock:
-            return self._insert_keyframe_locked(frame, pose_R_h, pose_t_h)
+            return self._insert_keyframe_locked(frame, pose_R_h, pose_t_h, frame_id)
 
-    def _insert_keyframe_locked(self, frame: Frame, pose_R_h=None, pose_t_h=None) -> int:
+    def _insert_keyframe_locked(
+        self, frame: Frame, pose_R_h=None, pose_t_h=None, frame_id=None
+    ) -> int:
         store = self.store
         kp = frame.kp
         words = bow = None
@@ -651,7 +663,7 @@ class Tracker:
             kp_valid=kp_valid,
             words=words,
             bow=bow,
-            frame_id=self.frame_idx,
+            frame_id=self.frame_idx if frame_id is None else frame_id,
         )
 
         # Existing map matches from the last tracking stage.
@@ -758,11 +770,13 @@ class Tracker:
                 return True
         return False
 
-    def _record_trajectory(self, pose_R_h=None, pose_t_h=None):
+    def _record_trajectory(self, pose_R_h=None, pose_t_h=None, frame_idx=None):
         """Store T_cur_ref = T_cw · T_ref_w^{-1} (relative to ref KF).
 
         Pure numpy (no device round trip): callers on the hot path pass the
         already-fetched pose; others fall back to fetching it."""
+        if frame_idx is None:
+            frame_idx = self.frame_idx
         if pose_R_h is None:
             pose_R_h, pose_t_h = jax.device_get((self.pose.R, self.pose.t))
         pose_R_h = np.asarray(pose_R_h)
@@ -774,16 +788,34 @@ class Tracker:
         # t_rel = t_cw - R_rel t_ref.
         R_rel = pose_R_h @ R_ref.T
         t_rel = pose_t_h - R_rel @ t_ref
-        self.trajectory.append((self.frame_idx, self.ref_kf, R_rel, t_rel))
+        self.trajectory.append((frame_idx, self.ref_kf, R_rel, t_rel))
 
     # ------------------------------------------------------------------
 
     def track(self, frame: Frame) -> Optional[se3.SE3]:
         """Track one frame; returns the frame pose T_cw (None while
-        uninitialized). The reference's TrackFusion (Tracking.cc:366-588)."""
+        uninitialized). The reference's TrackFusion (Tracking.cc:366-588).
+
+        With cfg.pipelined=True the steady-state FETCH of frame t's packed
+        results is deferred until frame t+1's step has been dispatched: the
+        device computes frame t while the host renders/feeds frame t+1, and
+        pose/velocity chain device-to-device with no host sync between
+        frames. This replaces the reference's tracking/mapping thread
+        overlap (SURVEY §2.10 P1) on a remote-attached chip where every
+        synchronous fetch costs a ~35 ms RTT. Consequences (documented
+        semantics, all bounded to ONE frame of latency): LOST detection,
+        the no-prior fallback, and keyframe insertion for frame t happen
+        while t+1 is already in flight — on a correction the in-flight step
+        is re-dispatched from the corrected state; a new keyframe becomes
+        visible to the local map one frame later than in sync mode."""
         self.frame_idx += 1
         self.frames_since_kf += 1
+        if self.cfg.pipelined and self.state == TrackState.OK:
+            return self._track_pipelined(frame)
+        self.flush()
+        return self._track_sync(frame)
 
+    def _track_sync(self, frame: Frame) -> Optional[se3.SE3]:
         if self.state == TrackState.NOT_INITIALIZED:
             if self._initialize(frame):
                 return self.pose
@@ -807,10 +839,12 @@ class Tracker:
                 self.frames_lost += 1
                 return None
 
-        # --- the WHOLE per-frame device computation in ONE dispatch
-        # (motion-model prediction + both matching/pose-LM stages + next
-        # velocity + keyframe counters; the reference's two PoseOptimization
-        # calls, Tracking.cc:1503-1668), followed by ONE two-leaf fetch.
+        return self._track_steady(frame)
+
+    def _dispatch_step(self, frame: Frame):
+        """Launch the whole per-frame device computation (ONE dispatch, no
+        host sync — motion model + both match/pose-LM stages + velocity +
+        keyframe counters, Tracking.cc:1503-1668)."""
         lm_buffer = self._gather_local_map()
         lidar_map = self._gather_lidar_local_map() if frame.lidar is not None else None
         pose, velocity, packed_i, packed_f = track_frame_step(
@@ -820,7 +854,48 @@ class Tracker:
             lidar_map=lidar_map, match_dist=self.cfg.lidar_match_dist,
             num_levels=self.cfg.num_levels, scale_factor=self.cfg.scale_factor,
         )
+        return (frame, self.frame_idx, lm_buffer, lidar_map,
+                pose, velocity, packed_i, packed_f)
+
+    def _track_steady(self, frame: Frame) -> Optional[se3.SE3]:
+        """Synchronous steady-state frame: dispatch + immediate consume."""
+        pending = self._dispatch_step(frame)
+        ok, _ = self._consume_step(pending, commit_pose=True)
+        return self.pose if ok else None
+
+    def _track_pipelined(self, frame: Frame) -> Optional[se3.SE3]:
+        """Deferred-fetch steady state: dispatch frame t+1 FIRST, then
+        finalize frame t's already-computed results."""
+        cur = self._dispatch_step(frame)
+        prev, self._pending = self._pending, cur
+        # Chain pose/velocity device-to-device (no host sync).
+        self.pose, self.velocity = cur[4], cur[5]
+        if prev is not None:
+            ok, corrected = self._consume_step(prev, commit_pose=False)
+            if not ok or corrected:
+                # The in-flight step chained off a bad/corrected pose.
+                self._pending = None
+                if self.state == TrackState.OK:
+                    return self._track_steady(frame)  # redo from corrected
+                return None  # lost with frame t; t+1 relocalizes next call
+        return self.pose
+
+    def flush(self) -> None:
+        """Finalize any deferred frame (pipelined mode). Must run before
+        reading trajectory/state or mutating the map externally."""
+        prev, self._pending = self._pending, None
+        if prev is not None:
+            self._consume_step(prev, commit_pose=False)
+
+    def _consume_step(self, pending, commit_pose: bool):
+        """Fetch + host bookkeeping for one dispatched step. Returns
+        (ok, corrected): ok=False means tracking was lost at this frame;
+        corrected=True means the no-prior fallback replaced the pose (any
+        step chained off the original dispatch must be redone)."""
+        (frame, frame_idx, lm_buffer, lidar_map,
+         pose, velocity, packed_i, packed_f) = pending
         packed_i, packed_f = jax.device_get((packed_i, packed_f))
+        corrected = False
 
         if int(packed_f[13]) < self.cfg.min_inliers_track:  # nA
             # No-prior fallback: descriptor-only match + 3D-3D RANSAC seed
@@ -845,6 +920,7 @@ class Tracker:
                     scale_factor=self.cfg.scale_factor,
                 )
                 packed_i, packed_f = jax.device_get((packed_i, packed_f))
+                corrected = True
 
         pose_R_h = packed_f[:9].reshape(3, 3)
         pose_t_h = packed_f[9:12]
@@ -858,7 +934,7 @@ class Tracker:
         if n < self.cfg.min_inliers_local:
             self.state = TrackState.LOST
             self.velocity = jnp.zeros(6)
-            return None
+            return False, True
 
         # Bookkeeping: matched landmark -> keypoint pairs (host side).
         ids = np.asarray(lm_buffer.ids)
@@ -866,15 +942,18 @@ class Tracker:
         sel = mv & (ids >= 0)
         self.last_lm_ids = np.stack([ids[sel], mi[sel]], axis=-1)
 
-        # pose/velocity stay device-resident (next frame's step inputs).
-        self.velocity = velocity
-        self.pose = pose
+        if commit_pose or corrected:
+            # pose/velocity stay device-resident (next frame's step inputs).
+            self.velocity = velocity
+            self.pose = pose
         self.state = TrackState.OK
         self.last_inliers = n
 
         if not self.localization_only and self._need_keyframe(
             n, tracked_close, untracked_close
         ):
-            self._insert_keyframe(frame, pose_R_h=pose_R_h, pose_t_h=pose_t_h)
-        self._record_trajectory(pose_R_h, pose_t_h)
-        return pose
+            self._insert_keyframe(
+                frame, pose_R_h=pose_R_h, pose_t_h=pose_t_h, frame_id=frame_idx
+            )
+        self._record_trajectory(pose_R_h, pose_t_h, frame_idx=frame_idx)
+        return True, corrected
