@@ -88,11 +88,22 @@ class SyntheticWorld:
         # sub-pixel scale changes like a real camera's PSF.
         interp = {}
         for s in np.unique(size[ok]):
-            g = np.linspace(0, ps - 1, int(s))
-            i0 = np.floor(g).astype(np.int32)
-            i1 = np.minimum(i0 + 1, ps - 1)
-            w = (g - i0).astype(np.float32)
-            interp[int(s)] = (i0, i1, w)
+            s = int(s)
+            if s >= ps:
+                # Upsampling: bilinear (stable under sub-pixel scale change).
+                g = np.linspace(0, ps - 1, s)
+                i0 = np.floor(g).astype(np.int32)
+                i1 = np.minimum(i0 + 1, ps - 1)
+                w = (g - i0).astype(np.float32)
+                interp[s] = (i0, i1, w)
+            else:
+                # Downsampling: nearest — bilinear averages neighboring
+                # binary cells into midtones and washes small far patterns
+                # below the FAST contrast threshold (measured: tracking on
+                # the 42 m ring died at frame 39 with bilinear-down).
+                interp[s] = ((np.arange(s) * ps // s).astype(np.int32),) * 2 + (
+                    np.zeros(s, np.float32),
+                )
 
         for i in order:
             if not ok[i]:

@@ -895,7 +895,11 @@ def gather_global_problem_bucketed(store: MapStore):
     kf_slot[kf_ids] = np.arange(len(kf_ids), dtype=np.int32)
 
     P = max(len(kf_ids), 1)
-    L = max(len(lm_ids), 1)
+    # Pad the landmark axis to the TPU lane width so the Pallas rows engine
+    # (assembly kernel + rows CG) engages at scale — an unaligned L silently
+    # fell back to the XLA path, ~10x slower at the 600-KF GBA shape.
+    L_real = max(len(lm_ids), 1)
+    L = -(-L_real // 128) * 128
     O = store.obs_per_landmark
 
     obs_kf = store.lm_obs_kf[lm_ids] if len(lm_ids) else np.full((1, O), -1, np.int32)
@@ -908,17 +912,29 @@ def gather_global_problem_bucketed(store: MapStore):
     octv = store.kf_octave[okf, oidx]
     is2 = (1.0 / 1.2 ** (2 * octv)).astype(np.float32)
 
+    def pad_rows(x, fill):
+        n = x.shape[0]
+        if n >= L:
+            return x
+        padded = np.full((L,) + x.shape[1:], fill, x.dtype)
+        padded[:n] = x
+        return padded
+
+    points_np = store.lm_pos[lm_ids] if len(lm_ids) else np.zeros((1, 3), np.float32)
+    pv = np.zeros(L, bool)
+    pv[: len(lm_ids)] = True
+
     problem = schur_bucketed.BucketedBAProblem(
         pose_R=jnp.asarray(store.kf_R[kf_ids]) if len(kf_ids) else jnp.eye(3)[None],
         pose_t=jnp.asarray(store.kf_t[kf_ids]) if len(kf_ids) else jnp.zeros((1, 3)),
         pose_fixed=jnp.asarray(np.arange(P) == 0),  # gauge: first KF
         pose_valid=jnp.ones(P, bool),
-        points=jnp.asarray(store.lm_pos[lm_ids]) if len(lm_ids) else jnp.zeros((1, 3)),
-        point_valid=jnp.ones(L, bool) if len(lm_ids) else jnp.zeros(1, bool),
-        obs_cam=jnp.asarray(obs_cam),
-        obs_uvr=jnp.asarray(uvr),
-        obs_inv_sigma2=jnp.asarray(is2),
-        obs_valid=jnp.asarray(valid),
+        points=jnp.asarray(pad_rows(points_np.astype(np.float32), 0.0)),
+        point_valid=jnp.asarray(pv),
+        obs_cam=jnp.asarray(pad_rows(obs_cam, 0)),
+        obs_uvr=jnp.asarray(pad_rows(uvr, -1.0)),
+        obs_inv_sigma2=jnp.asarray(pad_rows(is2, 1.0)),
+        obs_valid=jnp.asarray(pad_rows(valid, False)),
     )
     meta = (kf_ids, lm_ids, obs_kf, obs_idx)
     return problem, meta

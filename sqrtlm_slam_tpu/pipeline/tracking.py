@@ -103,9 +103,15 @@ def _scale_aware_window(
     )
     gate = jnp.isfinite(lm.max_dist)
     radius = radius_px * jnp.power(scale_factor, pred.astype(jnp.float32))
+    # slack 2 (reference uses [pred-1, pred]): our octave estimate is
+    # noisier — the grid detector re-fires the same corner on several
+    # levels and keeps per-level budgets, so the DETECTED level wobbles
+    # ±1 around the physical one; a 1-level gate costs ~25% of true
+    # matches on the ring domain where margins decide tracking survival.
     return matching.projection_window_mask(
         uv_pred, frame.kp.xy, radius,
         octave_pred=pred, octave_kp=frame.kp.octave, octave_gate=gate,
+        level_slack=2,
     )
 
 
@@ -755,7 +761,11 @@ class Tracker:
             kfs = [kf] + [int(x) for x in self.store.best_covisible(kf, 10)]
             lm_ids = np.unique(self.store.kf_obs_lm[kfs])
             lm_ids = lm_ids[lm_ids >= 0]
-            lm_ids = lm_ids[self.store.lm_valid[lm_ids]][: self.cfg.local_map_capacity]
+            lm_ids = lm_ids[self.store.lm_valid[lm_ids]]
+            if len(lm_ids) > self.cfg.local_map_capacity:
+                # Keep the NEWEST ids (freshest descriptors) — see
+                # _gather_local_map.
+                lm_ids = lm_ids[-self.cfg.local_map_capacity:]
             if len(lm_ids) < 30:
                 continue
             buf = self._buffer_from_ids(lm_ids)
