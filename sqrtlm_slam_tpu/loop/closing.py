@@ -780,6 +780,21 @@ class LoopCloser:
             if self.gba_generation != generation:
                 self.num_gba_aborted += 1
                 return False
+            # Safety valve (found by the 1000-frame soak, eval/longrun.py):
+            # a GBA that failed to converge — e.g. seeded from a bad loop
+            # constraint — can flag nearly EVERY observation as an outlier;
+            # writing that back erases the whole landmark set and kills
+            # tracking permanently. A sane GBA outcome drops a few percent;
+            # if over half would drop, discard the result instead of the map
+            # (the reference never mass-drops post-GBA either — outlier
+            # erasure there happens only in local BA, g2oOptimizer.cc:1119).
+            n_obs = int(np.asarray(problem.obs_valid).sum())
+            n_surv = int(
+                (np.asarray(survivors) & np.asarray(problem.obs_valid)).sum()
+            )
+            if n_obs > 0 and n_surv < 0.5 * n_obs:
+                self.num_gba_aborted += 1
+                return False
             write_back_global_bucketed(self.store, problem, survivors, meta)
             self._propagate_to_new_kfs(snap_kf, snap_lm, pre_R, pre_t)
         self.num_gba_completed += 1
