@@ -239,10 +239,27 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _correlate2d(img: jnp.ndarray, kernels) -> jnp.ndarray:
+    """SAME-padded 2-D cross-correlation of one image with C kernels via
+    ONE lax.conv call — the XLA TPU conv path. `jax.scipy.signal.convolve2d`
+    lowered to ~80 ms for the 8-level moment maps at 240x320 (measured,
+    benchmarks/breakdown_tracking.py); this form is MXU-friendly.
+
+    kernels: (C, kh, kw) -> returns (C, H, W)."""
+    x = img[None, None].astype(jnp.float32)  # NCHW
+    k = jnp.asarray(kernels, dtype=jnp.float32)[:, None]  # OIHW
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
 def gaussian_blur(img: jnp.ndarray, size: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """7x7 sigma-2 blur before BRIEF sampling (cv::GaussianBlur equivalent)."""
-    k = jnp.asarray(_gaussian_kernel(size, sigma))
-    return jax.scipy.signal.convolve2d(img, k, mode="same")
+    k = _gaussian_kernel(size, sigma)
+    # Symmetric kernel: correlation == convolution.
+    return _correlate2d(img, k[None])[0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -265,13 +282,9 @@ def _orientation_maps(img: jnp.ndarray, patch: int) -> Tuple[jnp.ndarray, jnp.nd
     ax = np.arange(-half, half + 1, dtype=np.float32)
     yy, xx = np.meshgrid(ax, ax, indexing="ij")
     circ = (yy**2 + xx**2 <= half**2).astype(np.float32)
-    kx = jnp.asarray(xx * circ)
-    ky = jnp.asarray(yy * circ)
-    # correlate = convolve with flipped kernel; kernels are antisymmetric, so
-    # convolve2d(img, k) computes -correlation; negate to get moments.
-    m10 = -jax.scipy.signal.convolve2d(img, kx, mode="same")
-    m01 = -jax.scipy.signal.convolve2d(img, ky, mode="same")
-    return m10, m01
+    # ONE conv call for both moment maps (direct correlation — no flip).
+    m = _correlate2d(img, np.stack([xx * circ, yy * circ]))
+    return m[0], m[1]
 
 
 def compute_descriptors(
