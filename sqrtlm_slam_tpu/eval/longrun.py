@@ -80,8 +80,13 @@ def run_long(
     wall = time.perf_counter() - t_start
 
     est = s.get_trajectory()
+    # Align ground truth by the frame ids actually recorded in the
+    # trajectory: lost frames leave gaps, so est[i] does NOT correspond to
+    # poses[i] in general (ADVICE r4).
+    frame_ids = [fid for fid, _, _, _ in s.tracker.trajectory]
     gt = []
-    for T in poses[: len(est)]:
+    for fid in frame_ids[: len(est)]:
+        T = poses[fid]
         M = np.eye(4)
         M[:3, :3] = np.asarray(T.R)
         M[:3, 3] = np.asarray(T.t)

@@ -546,9 +546,13 @@ def plan_chunks(
     Ec = jnp.swapaxes(
         jax.nn.one_hot(wc[:, None] + jnp.arange(W)[None, :], P), 1, 2
     )  # (C, P, W)
+    # E6 stays f32: entries are 0/1 (exact) and the placement einsums run
+    # at HIGHEST precision so the f32-accumulated chunk Grams are placed
+    # without bf16 rounding (the dense path only rounds per-landmark
+    # products; placement must not add a second rounding).
     E6 = jnp.einsum("cpw,ij->cpiwj", Ec, jnp.eye(6)).reshape(
         C, P * 6, W * 6
-    ).astype(o_dtype)
+    )
     n_unc = jnp.sum(~cov)
     return ChunkPlan(Ol=Ol, wc=wc, E6=E6, cov=cov, n_uncovered=n_unc)
 
@@ -571,12 +575,18 @@ def _chunked_S_corr(V18, plan: ChunkPlan, O, P: int):
 
     # Batched block placement (NO sequential per-chunk scan — 32 chained
     # dynamic_update_slices were latency-bound at ~0.2 ms): two batched
-    # MXU matmuls against the kron(Ec, I6) placement one-hot. DEFAULT
-    # precision is fine: the dense path's S is built from bf16 Y products
-    # at DEFAULT too, and the LM loop gates on an exact chi2.
-    T1 = jnp.einsum("cra,cab->crb", plan.E6, Sc.astype(plan.E6.dtype))
+    # MXU matmuls against the kron(Ec, I6) placement one-hot, at HIGHEST
+    # precision so the 0/1 selection is exact and the f32-accumulated Sc
+    # entries are not bf16-rounded on the MXU (the tiny (P6,W6)x(W6,W6)
+    # shapes make the 3x pass cost negligible).
+    T1 = jnp.einsum(
+        "cra,cab->crb", plan.E6, Sc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     S_corr = jnp.einsum(
-        "crb,csb->rs", T1, plan.E6, preferred_element_type=jnp.float32
+        "crb,csb->rs", T1, plan.E6,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
 
     def add_uncovered(S):
@@ -1040,7 +1050,7 @@ def _schur_matvec_rows(v, u18, minv6, Hpp_d, obs_cam, pose_fixed):
 
 def cg_reduce_and_solve_rows(
     problem: BucketedBAProblem, cam, active, robust_delta, mu,
-    cg_iters: int = 100, cg_tol: float = 1e-2,
+    cg_iters: int = 100, cg_tol: float = 1e-6,
 ):
     """cg_reduce_and_solve on the Pallas-assembly rows layout (TPU path).
 
@@ -1134,14 +1144,14 @@ def _pcg(matvec, b, Minv_blocks, pose_fixed, max_iters: int, tol: float):
 
 def cg_reduce_and_solve(
     problem: BucketedBAProblem, cam, active, robust_delta, mu,
-    cg_iters: int = 100, cg_tol: float = 1e-2,
+    cg_iters: int = 100, cg_tol: float = 1e-6,
 ):
     """One damped-GN step via matrix-free Schur + PCG (bucketed).
 
-    Note for external callers: `cg_tol` default is the inexact-Newton
-    forcing term 1e-2 (it was 1e-6 before round 3) — LM accept/reject
-    gates step quality, so a tight linear solve is wasted matvecs. Pass
-    cg_tol explicitly if you need a tight solve.
+    The default `cg_tol` is a tight solve; the LM loop (`ba_iterate_cg`)
+    passes the inexact-Newton forcing term 1e-2 explicitly — its
+    accept/reject gate makes a tight linear solve wasted matvecs there,
+    but external callers get the exact-step semantics by default.
 
     Returns (dxp (P,6), dxl (L,3), chi2, bp, bl, cg_n)."""
     P, L = problem.num_poses, problem.num_points
@@ -1216,8 +1226,11 @@ def ba_iterate_cg(
     def body(carry, _):
         pose_R, pose_t, points, chi2, mu, nu, n_acc = carry
         prob = problem._replace(pose_R=pose_R, pose_t=pose_t, points=points)
+        # Inexact-Newton forcing term: the LM gate bounds step quality, so
+        # a tight linear solve here is wasted matvecs (measured r3).
         dxp, dxl, _, bp, bl, _ = step(
-            prob, cam, active, robust_delta, mu, cg_iters=cg_iters
+            prob, cam, active, robust_delta, mu, cg_iters=cg_iters,
+            cg_tol=1e-2,
         )
         candidate = _apply_update(prob, dxp, dxl)
         chi2_c = chi2_only(candidate, cam, active, robust_delta)
