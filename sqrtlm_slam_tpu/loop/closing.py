@@ -58,6 +58,21 @@ class LoopClosingConfig(NamedTuple):
     proj_search_radius: float = 10.0  # SearchByProjection th (LoopClosing.cc:597)
     fuse_radius: float = 4.0  # SearchAndFuse Fuse th (LoopClosing.cc:915)
     gba_chunk: int = 5  # LM iterations per dispatch between abort checks
+    # Poisoned-constraint gates (round 5). A Sim3 candidate can clear every
+    # match-count gate (LoopClosing.cc:367-626) and still be geometrically
+    # wrong (aliased place recognition) — the r4 soak had one slip through
+    # and seed a divergent GBA. Two checks upstream of the map:
+    #  (a) drift plausibility, PRE-mutation: the correction the loop edge
+    #      implies on the current pose must be explainable as accumulated
+    #      odometry drift over the chain between the two keyframes;
+    #  (b) observation-tear veto, POST-essential-graph: if the warp +
+    #      SearchAndFuse merges tore the current group's landmark/
+    #      observation geometry apart, roll the whole correction back.
+    max_loop_rot: float = 0.6  # rad; max plausible heading drift
+    drift_frac: float = 0.25  # max translation correction per chain metre
+    min_drift_allow: float = 3.0  # m; always allow this much correction
+    max_loop_scale_log: float = 0.35  # |log s| cap when scale is free
+    max_loop_bad_obs_frac: float = 0.4  # group-observation tear veto
 
 
 class LoopMatches(NamedTuple):
@@ -176,8 +191,10 @@ class LoopCloser:
         # Consistency groups: list of (set_of_kfs, consistency_count).
         self.consistent_groups: List = []
         self.num_loops_closed = 0
+        self.num_loops_rejected = 0  # vetoed by the poisoned-constraint gates
         self.last_fused = 0  # landmarks merged by the last SearchAndFuse
         self.last_reject = None  # (stage, count) of the last ComputeSim3 gate
+        self.last_loop_veto = None  # (gate, value) of the last CorrectLoop veto
         self._key = jax.random.PRNGKey(0)
         # Interruptible-GBA protocol (the reference's mbStopGBA/mnFullBAIdx,
         # LoopClosing.cc:649-660): CorrectLoop bumps the generation, a
@@ -200,8 +217,7 @@ class LoopCloser:
         cand = self.detect_loop(kf)
         for c in cand:
             ok, S12, matches = self.compute_sim3(kf, c)
-            if ok:
-                self.correct_loop(kf, c, S12, matches)
+            if ok and self.correct_loop(kf, c, S12, matches):
                 return True
         return False
 
@@ -470,14 +486,13 @@ class LoopCloser:
         S12 maps kf_loop-camera coords -> kf_cur-camera coords, so the
         corrected current pose is ``S_cur_w = S12 ∘ S_loop_w`` (the loop
         KF's pose is trusted; LoopClosing.cc:627-894).
+
+        Returns True iff the loop was committed; False when one of the
+        poisoned-constraint gates vetoed it (the map is then exactly as
+        before the call, up to the monotonic version counter).
         """
         store, cfg = self.store, self.cfg
         K = store.num_kf
-
-        # Step 0: a newer loop supersedes any in-flight GBA — bumping the
-        # generation makes the stale run abort between chunks (the
-        # reference's mbStopGBA + mnFullBAIdx, LoopClosing.cc:649-660).
-        self.gba_generation += 1
 
         # Pre-correction poses as Sim3 (scale 1).
         s_all = np.ones(K, np.float32)
@@ -488,6 +503,51 @@ class LoopCloser:
             jnp.asarray(1.0), jnp.asarray(R_all[kf_loop]), jnp.asarray(t_all[kf_loop])
         )
         S_cur_corr = sim3.compose(S12, S_loop)
+
+        # ---- Gate (a): drift plausibility (pre-mutation) ----
+        # The correction the loop edge applies to the current pose IS the
+        # claimed accumulated drift since kf_loop; reject corrections no
+        # plausible odometry drift could explain. (The reference has no
+        # such gate — LoopClosing.cc accepts on match counts alone — and
+        # the r4 soak showed an aliased candidate passing those.)
+        T_new = sim3.to_se3(S_cur_corr)
+        R_new = np.asarray(T_new.R)
+        c_new = -R_new.T @ np.asarray(T_new.t)
+        c_old = -R_all[kf_cur].T @ t_all[kf_cur]
+        corr_t = float(np.linalg.norm(c_new - c_old))
+        cosang = (np.trace(R_new @ R_all[kf_cur].T) - 1.0) / 2.0
+        corr_rot = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+        corr_slog = abs(float(np.log(max(float(S12.s), 1e-9))))
+        ids = [
+            k for k in range(min(kf_loop, kf_cur), max(kf_loop, kf_cur) + 1)
+            if store.kf_valid[k]
+        ]
+        centers = np.stack([-store.kf_R[k].T @ store.kf_t[k] for k in ids])
+        chain_dist = float(
+            np.sum(np.linalg.norm(np.diff(centers, axis=0), axis=-1))
+        )
+        t_allow = max(cfg.drift_frac * chain_dist, cfg.min_drift_allow)
+        if (
+            corr_rot > cfg.max_loop_rot
+            or corr_t > t_allow
+            or (not cfg.fix_scale and corr_slog > cfg.max_loop_scale_log)
+        ):
+            self.last_loop_veto = (
+                "drift", {"rot": corr_rot, "t": corr_t, "t_allow": t_allow,
+                          "slog": corr_slog},
+            )
+            self.num_loops_rejected += 1
+            return False
+
+        # Step 0: a newer loop supersedes any in-flight GBA — bumping the
+        # generation makes the stale run abort between chunks (the
+        # reference's mbStopGBA + mnFullBAIdx, LoopClosing.cc:649-660).
+        self.gba_generation += 1
+
+        # Rollback snapshot for gate (b): everything CorrectLoop mutates
+        # before the GBA launch (poses, landmark state, observation wiring,
+        # covisibility). Tens of MB, paid only on (rare) loop events.
+        snap = self._snapshot_for_rollback(K)
 
         # Current KF's covisible group gets corrected via its relative pose
         # to the current KF: S_i_corr = (T_iw ∘ T_cur_w^-1) ∘ S_cur_corr.
@@ -580,6 +640,20 @@ class LoopCloser:
         )
         self._apply_pose_graph(out, K)
 
+        # ---- Gate (b): observation-tear veto (post-essential-graph) ----
+        # A good loop moves landmarks WITH their keyframes and fuses true
+        # duplicates, so the current group's observations stay reprojection-
+        # consistent. A poisoned constraint merges distinct 3D points and
+        # warps the group against its own geometry — the exact state that
+        # seeded the r4 soak's divergent GBA. Check BEFORE GBA and roll the
+        # whole correction back if the group tore.
+        bad_frac = self._obs_bad_fraction(set(group))
+        if bad_frac > cfg.max_loop_bad_obs_frac:
+            self._restore_from_rollback(snap, K)
+            self.last_loop_veto = ("tear", {"bad_frac": float(bad_frac)})
+            self.num_loops_rejected += 1
+            return False
+
         store.loop_edges.append((kf_cur, kf_loop))
         self.last_loop_kf = kf_cur
         self.num_loops_closed += 1
@@ -594,6 +668,7 @@ class LoopCloser:
                 self._gba_thread.start()
             else:
                 self.run_global_ba(gen)
+        return True
 
     def _build_pose_graph(self, kf_cur, kf_loop, S12, s_all, R_all, t_all,
                           s_meas, R_meas, t_meas, loop_connections=()):
@@ -704,6 +779,74 @@ class LoopCloser:
             e_t=jnp.asarray(et),
             e_valid=jnp.asarray(ev),
         )
+
+    # Store fields CorrectLoop mutates before GBA: poses (set_kf_pose),
+    # landmark positions/validity/wiring (_apply_pose_graph, _fuse_point ->
+    # replace_landmark/add_observation), covisibility (update_connections).
+    _ROLLBACK_KF = ("kf_R", "kf_t", "kf_obs_lm")
+    _ROLLBACK_LM = (
+        "lm_pos", "lm_valid", "lm_desc", "lm_normal", "lm_min_dist",
+        "lm_max_dist", "lm_obs_kf", "lm_obs_idx", "lm_n_obs", "lm_visible",
+        "lm_found", "lm_first_kf",
+    )
+    _ROLLBACK_FULL = ("covis", "parent")
+
+    def _snapshot_for_rollback(self, K: int) -> dict:
+        store = self.store
+        L = store.num_lm
+        snap = {f: getattr(store, f)[:K].copy() for f in self._ROLLBACK_KF}
+        snap.update({f: getattr(store, f)[:L].copy() for f in self._ROLLBACK_LM})
+        snap.update({f: getattr(store, f).copy() for f in self._ROLLBACK_FULL})
+        snap["loop_edges"] = list(store.loop_edges)
+        return snap
+
+    def _restore_from_rollback(self, snap: dict, K: int):
+        store = self.store
+        L = snap["lm_pos"].shape[0]
+        for f in self._ROLLBACK_KF:
+            getattr(store, f)[:K] = snap[f]
+        for f in self._ROLLBACK_LM:
+            getattr(store, f)[:L] = snap[f]
+        for f in self._ROLLBACK_FULL:
+            getattr(store, f)[...] = snap[f]
+        store.loop_edges = snap["loop_edges"]
+        # The version counter stays monotonic: downstream device caches key
+        # on it, and silently restoring state under an unchanged version
+        # would serve stale gathers.
+        store.version += 1
+
+    def _obs_bad_fraction(self, kfs: Optional[set] = None) -> float:
+        """Fraction of (optionally KF-restricted) landmark observations
+        whose reprojection fails the chi2(0.05, 2dof) gate under the
+        CURRENT store state — the tear metric for gate (b)."""
+        store, cam = self.store, self.cam
+        L = store.num_lm
+        lm_sel = np.where(store.lm_valid[:L])[0]
+        if len(lm_sel) == 0:
+            return 0.0
+        O = store.lm_obs_kf.shape[1]
+        flat_kf = store.lm_obs_kf[lm_sel].reshape(-1)
+        flat_idx = store.lm_obs_idx[lm_sel].reshape(-1)
+        flat_lm = np.repeat(lm_sel, O)
+        m = (flat_kf >= 0) & (flat_idx >= 0)
+        if kfs is not None:
+            m &= np.isin(flat_kf, np.fromiter(kfs, dtype=np.int64))
+        if not m.any():
+            return 0.0
+        kf, idx, lm = flat_kf[m], flat_idx[m], flat_lm[m]
+        p_c = (
+            np.einsum("kij,kj->ki", store.kf_R[kf], store.lm_pos[lm])
+            + store.kf_t[kf]
+        )
+        z = p_c[:, 2]
+        zs = np.maximum(z, 1e-6)
+        u = cam.fx * p_c[:, 0] / zs + cam.cx
+        v = cam.fy * p_c[:, 1] / zs + cam.cy
+        xy = store.kf_xy[kf, idx]
+        inv_s2 = 1.0 / 1.2 ** (2 * store.kf_octave[kf, idx])
+        e2 = ((u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2) * inv_s2
+        bad = (z <= 0.05) | (e2 > 5.991)
+        return float(bad.mean())
 
     def _apply_pose_graph(self, out: essential_graph.PoseGraphProblem, K: int):
         """Write back optimized poses and landmark corrections
