@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--max-features", type=int, default=2000)
     ap.add_argument("--json", action="store_true", help="print one JSON summary line")
     ap.add_argument("--plot", default=None, help="write top-down trajectory PNG here")
+    ap.add_argument(
+        "--viz-every", type=int, default=0, metavar="N",
+        help="write an incremental SLAM-state snapshot PNG every N frames "
+             "(<plot-or-out stem>_live.png — the headless equivalent of the "
+             "reference's live rviz Visualization() thread)",
+    )
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler trace into this directory")
     args = ap.parse_args()
@@ -167,6 +173,20 @@ def main():
                     f"kfs={slam.num_keyframes()} lms={slam.num_landmarks()}",
                     file=sys.stderr,
                 )
+            if args.viz_every > 0 and (i + 1) % args.viz_every == 0:
+                # Live visualization stream (fusionsystem.cc:224-586 parity,
+                # headless): overwrite one snapshot so a viewer polling the
+                # file sees the map grow during the run.
+                from sqrtlm_slam_tpu.eval.plot import render_slam_result
+
+                stem = (args.plot or args.out or f"viz_{args.seq}").rsplit(".", 1)[0]
+                try:
+                    render_slam_result(
+                        slam.get_slam_result(), stem + "_live.png",
+                        gt=seq.gt_poses[: i + 1] if seq.gt_poses is not None else None,
+                    )
+                except Exception as e:
+                    print(f"[viz] snapshot failed: {e}", file=sys.stderr)
         est = slam.get_trajectory()
         if args.checkpoint:
             slam.save(args.checkpoint)
