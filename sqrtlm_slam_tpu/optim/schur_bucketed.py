@@ -1050,19 +1050,23 @@ def _schur_matvec_rows(v, u18, minv6, Hpp_d, obs_cam, pose_fixed):
 
 def cg_reduce_and_solve_rows(
     problem: BucketedBAProblem, cam, active, robust_delta, mu,
-    cg_iters: int = 100, cg_tol: float = 1e-6,
+    cg_iters: int = 100, cg_tol: float = 1e-6, prep=None,
 ):
     """cg_reduce_and_solve on the Pallas-assembly rows layout (TPU path).
 
     Same algebra; the context comes from the fused kernel and every
-    per-landmark tensor stays landmarks-on-lanes."""
+    per-landmark tensor stays landmarks-on-lanes. `prep` (the transposed
+    observation buffers) depends only on the observation graph, NOT on
+    poses/points/mu — LM loops pass it once (ba_iterate_cg) so the
+    transposes are not re-materialized every iteration."""
     from . import assembly_pallas
 
     P, L = problem.num_poses, problem.num_points
-    w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
-    prep = assembly_pallas.prepare(
-        problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
-    )
+    if prep is None:
+        w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+        prep = assembly_pallas.prepare(
+            problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
+        )
     red = assembly_pallas.assemble_prepared_rows(
         problem.pose_R, problem.pose_t, problem.points, prep,
         fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
@@ -1217,11 +1221,21 @@ def ba_iterate_cg(
     """LM loop using the matrix-free PCG step (whole-map scale)."""
     chi20 = chi2_only(problem, cam, active, robust_delta)
     mu0 = jnp.asarray(1e-3, dtype=chi20.dtype) + 0.0 * chi20
-    step = (
-        cg_reduce_and_solve_rows
-        if _pallas_assembly_ok(problem, cam, robust_delta)
-        else cg_reduce_and_solve
-    )
+    use_rows = _pallas_assembly_ok(problem, cam, robust_delta)
+    if use_rows:
+        # Loop-constant context: the transposed observation buffers depend
+        # only on the observation graph, so build them ONCE and close over
+        # them — re-materializing them every LM iteration dominated the
+        # per-step cost at GBA scale (L ~ 1e5).
+        from . import assembly_pallas
+
+        w_active = problem.obs_inv_sigma2 * active.astype(jnp.float32)
+        prep0 = assembly_pallas.prepare(
+            problem.obs_uvr, w_active, ~problem.pose_fixed, problem.obs_cam
+        )
+        step = lambda *a, **kw: cg_reduce_and_solve_rows(*a, prep=prep0, **kw)
+    else:
+        step = cg_reduce_and_solve
 
     def body(carry, _):
         pose_R, pose_t, points, chi2, mu, nu, n_acc = carry
