@@ -40,6 +40,18 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="save map here at end")
     ap.add_argument("--resume", default=None, help="resume from map checkpoint")
     ap.add_argument("--max-features", type=int, default=2000)
+    ap.add_argument("--max-keyframes", type=int, default=1200)
+    ap.add_argument("--max-landmarks", type=int, default=400000)
+    ap.add_argument(
+        "--async-mapping", action="store_true",
+        help="local mapping + loop closing on a background worker thread "
+             "(the reference's 3-pthread pipeline, System.cc:139-154)",
+    )
+    ap.add_argument(
+        "--pipelined", action="store_true",
+        help="deferred-fetch pipelined tracking (frame t's fetch overlaps "
+             "frame t+1's dispatch)",
+    )
     ap.add_argument("--json", action="store_true", help="print one JSON summary line")
     ap.add_argument("--plot", default=None, help="write top-down trajectory PNG here")
     ap.add_argument(
@@ -121,15 +133,19 @@ def main():
                 T = odo.process(jnp.asarray(velo[:, :3]))
             poses.append(np.asarray(_se3_to_mat_inv(T)))
         est = np.stack(poses)
+        est_ids = np.arange(len(est))
     else:
         from sqrtlm_slam_tpu.frontend.orb import ORBConfig
         from sqrtlm_slam_tpu.pipeline.system import SlamSystem, SystemConfig
 
         sys_cfg = SystemConfig(
             orb=ORBConfig(max_features=args.max_features),
-            tracking=cfg_seq.tracking,
+            tracking=cfg_seq.tracking._replace(pipelined=args.pipelined),
             loop_detection=args.loop,
             lidar=cfg_seq.lidar if args.mode == "fusion" else None,
+            max_keyframes=args.max_keyframes,
+            max_landmarks=args.max_landmarks,
+            async_mapping=args.async_mapping,
         )
         if args.resume:
             slam = SlamSystem.load(args.resume, seq.calib.cam, sys_cfg)
@@ -187,7 +203,9 @@ def main():
                     )
                 except Exception as e:
                     print(f"[viz] snapshot failed: {e}", file=sys.stderr)
+        slam.shutdown()  # drain async mapping/GBA before any state read
         est = slam.get_trajectory()
+        est_ids = slam.trajectory_frame_ids()
         if args.checkpoint:
             slam.save(args.checkpoint)
         print(f"tracked {tracked}/{n} frames", file=sys.stderr)
@@ -209,7 +227,8 @@ def main():
             sel = slam.store.lm_valid[: slam.store.num_lm]
             lms = slam.store.lm_pos[: slam.store.num_lm][sel]
         plot_trajectory(
-            args.plot, est, gt=seq.gt_poses[: len(est)] if seq.gt_poses is not None else None,
+            args.plot, est,
+            gt=seq.gt_poses[est_ids] if seq.gt_poses is not None else None,
             landmarks=lms, title=f"KITTI {args.seq} ({args.mode})",
         )
         print(f"plot -> {args.plot}", file=sys.stderr)
@@ -223,9 +242,27 @@ def main():
             )
             print(f"slam-result snapshot -> {snap_path}", file=sys.stderr)
 
+    import resource
+
     result = {"seq": args.seq, "mode": args.mode, "frames": int(n)}
+    result["peak_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+    )
+    if args.mode != "lidar":
+        result["tracked"] = int(tracked)
+        result["keyframes"] = int(slam.num_keyframes())
+        result["landmarks"] = int(slam.num_landmarks())
+        if slam.loop_closer is not None:
+            result["loops_closed"] = int(slam.loop_closer.num_loops_closed)
+    stage = "lidar_odometry" if args.mode == "lidar" else "track"
+    track_s = timer.totals.get(stage, 0.0)
+    if track_s > 0:
+        result["frames_per_s"] = round(n / track_s, 2)
     if seq.gt_poses is not None and len(est):
-        gt = seq.gt_poses[: len(est)]
+        # Align by recorded frame ids: lost frames record no trajectory
+        # entry, so positional slicing would skew the metric (same fix as
+        # eval/longrun.py).
+        gt = seq.gt_poses[est_ids]
         rmse, _ = ate_rmse(est, gt, align_scale=(args.mode == "mono"))
         result["ate_rmse_m"] = round(float(rmse), 4)
         print(f"ATE RMSE ({'Sim3' if args.mode == 'mono' else 'SE3'}-aligned): "

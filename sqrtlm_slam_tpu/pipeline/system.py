@@ -339,6 +339,15 @@ class SlamSystem:
             out.append(T)
         return np.stack(out) if out else np.zeros((0, 4, 4))
 
+    def trajectory_frame_ids(self) -> np.ndarray:
+        """Frame ids matching get_trajectory() rows. Lost frames record no
+        trajectory entry (Tracking.cc:578-586 skips them), so callers must
+        index ground truth by these ids rather than by row position."""
+        self.tracker.flush()
+        return np.asarray(
+            [fid for fid, _, _, _ in self.tracker.trajectory], np.int64
+        )
+
     def save_trajectory_kitti(self, path: str):
         """KITTI 3x4 row-major format (System::SaveTrajectoryKITTI)."""
         T = self.get_trajectory()
