@@ -169,8 +169,10 @@ def main():
                         project_cloud_to_depth_image,
                     )
 
+                    from sqrtlm_slam_tpu.lidar.features import pad_cloud
+
                     T = seq.calib.T_cam_velo
-                    cloud = jnp.asarray(
+                    cloud = pad_cloud(
                         velo_np[:, :3] @ T[:3, :3].T + T[:3, 3]
                     )
                     depth = project_cloud_to_depth_image(

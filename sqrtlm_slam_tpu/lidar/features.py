@@ -57,6 +57,30 @@ class LidarConfig(NamedTuple):
         return int(round(360.0 / self.horizon_res_deg))
 
 
+def pad_cloud(points, bucket: int = 16384) -> jnp.ndarray:
+    """Pad an (N, D) cloud to the next `bucket`-multiple row count with NaN
+    rows, so repeated jit calls share ONE compiled program per size bucket.
+
+    Real scans vary by hundreds of points frame to frame (the reference's
+    per-frame `pcl::PointCloud` is naturally variable-length,
+    Frame.cc:473-545); under jit a raw variable-length cloud recompiles the
+    entire ~20 MB frame graph EVERY frame (~1 min/frame over the remote
+    tunnel, found by the first reference-resolution fusion run). NaN rows
+    are inert in every consumer: `ring_and_azimuth` keeps only
+    `isfinite(rng)` points and `project_cloud_to_depth_image` rejects them
+    because NaN fails the z > 0.1 comparison."""
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = pts.shape[0]
+    cap = max(bucket, -(-n // bucket) * bucket)
+    if cap != n:
+        pts = np.concatenate(
+            [pts, np.full((cap - n, pts.shape[1]), np.nan, np.float32)]
+        )
+    return jnp.asarray(pts)
+
+
 class RangeImage(NamedTuple):
     depth: jnp.ndarray  # (R, C) range, 0 where empty
     xyz: jnp.ndarray  # (R, C, 3) point coords (camera/sensor frame)

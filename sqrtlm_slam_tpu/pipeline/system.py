@@ -193,9 +193,12 @@ class SlamSystem:
         """Visual-LiDAR fusion (System::TrackFusion): the LiDAR-frame cloud
         supplies keypoint depth AND (with cfg.lidar set) corner/flat
         features for tight coupling. `T_cam_lidar` = (R, t) extrinsics
-        (KITTI `Tr`, fusionsystem.cc:51-90)."""
+        (KITTI `Tr`, fusionsystem.cc:51-90). The cloud is bucket-padded so
+        the variable per-scan point count shares one jit shape."""
+        from ..lidar.features import pad_cloud
+
         frame = build_frame_jit(
-            image, self.cam, self.cfg.orb, cloud_lidar=cloud_lidar,
+            image, self.cam, self.cfg.orb, cloud_lidar=pad_cloud(cloud_lidar),
             T_cam_lidar=T_cam_lidar, lidar_cfg=self.cfg.lidar,
         )
         return self.tracker.track(frame)

@@ -204,3 +204,38 @@ class TestScanAlignment:
             err = se3.local_delta(est, T_i)
             errs.append(float(jnp.linalg.norm(err[:3])))
         assert errs[-1] < 0.1, errs
+
+
+class TestPadCloud:
+    """Bucket padding must be a no-op on results (one jit shape per bucket:
+    variable per-scan point counts otherwise recompile the whole frame
+    graph every frame — found by the reference-resolution fusion run)."""
+
+    def test_features_unchanged_and_single_bucket(self):
+        rng = np.random.RandomState(0)
+        pts = (
+            rng.randn(40000, 3) * np.array([20, 20, 2]) + np.array([0, 0, -1])
+        ).astype(np.float32)
+        cfg = feat.LidarConfig()
+        f1 = feat.extract_features(jnp.asarray(pts), cfg)
+        f2 = feat.extract_features(feat.pad_cloud(pts, bucket=65536), cfg)
+        for name in ["sharp", "flat", "sharp_valid", "flat_valid", "flat_normal"]:
+            a, b = np.asarray(getattr(f1, name)), np.asarray(getattr(f2, name))
+            assert np.allclose(a, b, equal_nan=True), name
+        caps = {
+            feat.pad_cloud(np.zeros((s, 3), np.float32)).shape[0]
+            for s in [91000, 91500, 92160, 90000]
+        }
+        assert len(caps) == 1, caps
+
+    def test_depth_projection_unchanged(self):
+        from sqrtlm_slam_tpu.eval.synthetic import DEFAULT_CAM
+        from sqrtlm_slam_tpu.pipeline.frame import project_cloud_to_depth_image
+
+        rng = np.random.RandomState(1)
+        pts = (rng.randn(9000, 3) * 15).astype(np.float32)
+        d1 = project_cloud_to_depth_image(jnp.asarray(pts), DEFAULT_CAM, 48, 64)
+        d2 = project_cloud_to_depth_image(
+            feat.pad_cloud(pts, bucket=16384), DEFAULT_CAM, 48, 64
+        )
+        assert np.allclose(np.asarray(d1), np.asarray(d2))
