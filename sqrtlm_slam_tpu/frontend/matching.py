@@ -77,16 +77,26 @@ def match_descriptors(
     window_mask: Optional[jnp.ndarray] = None,
     max_dist: int = TH_LOW,
     ratio: Optional[float] = None,
-    mutual: bool = True,
+    mutual=True,
     angles: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    octave_t: Optional[jnp.ndarray] = None,
 ) -> MatchResult:
     """Generic masked matcher: best target per query with all ORB gates.
 
     window_mask: optional (Q, T) bool of allowed pairs (projection window,
     BoW same-word, epipolar band, ... — caller-provided).
     ratio: best/second-best ratio test (e.g. 0.9 in SearchForInitialization,
-    0.75/0.6 in BoW search).
-    mutual: require the query to also be the target's best (Fuse semantics).
+    0.75/0.6 in BoW search). With `octave_t` given, the test applies ONLY
+    when best and second-best keypoints sit on the same pyramid level — the
+    reference's local-map SearchByProjection semantics
+    (ORBmatcher.cc:196-247: cross-level runners-up are expected near a
+    re-detected corner and must not veto the match).
+    mutual: True requires the query to also be the target's best (Fuse /
+    initialization semantics). "claim" resolves per-target conflicts by
+    keeping the claiming query with the smallest distance — the reference's
+    TrackLocalMap assignment (one map point per keypoint via
+    F.mvpMapPoints[bestIdx] overwrite) made deterministic-best instead of
+    last-writer-wins.
     angles: (angle_q (Q,), angle_t (T,)) enables rotation-consistency gating.
     """
     D = hamming_matrix(desc_q, desc_t)
@@ -104,9 +114,31 @@ def match_descriptors(
         cols = jnp.arange(D.shape[1])
         D2 = jnp.where(cols[None, :] == best_idx[:, None], _BIG, D_masked)
         second = jnp.min(D2, axis=1)
-        valid = valid & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        second_idx = jnp.argmin(D2, axis=1)
+        ratio_fail = best.astype(jnp.float32) >= ratio * second.astype(
+            jnp.float32
+        )
+        if octave_t is not None:
+            same_lvl = octave_t[best_idx] == octave_t[second_idx]
+            ratio_fail = ratio_fail & same_lvl
+        valid = valid & ~ratio_fail
 
-    if mutual:
+    if mutual == "claim":
+        # One query per target, best-claim wins. Tie-break on query index so
+        # exactly one survives (distance < 256 and Q fit the int32 key).
+        Q, T = D.shape
+        # Invalid rows carry dist=_BIG (2^20); clip the key base to 512 so
+        # key = dist*Q + q stays within int32 for any realistic Q.
+        d_key = jnp.minimum(best, 512).astype(jnp.int32)
+        key = d_key * Q + jnp.arange(Q, dtype=jnp.int32)
+        sentinel = jnp.int32(513 * Q)
+        tgt_best_key = (
+            jnp.full(T, sentinel, jnp.int32)
+            .at[best_idx]
+            .min(jnp.where(valid, key, sentinel))
+        )
+        valid = valid & (key == tgt_best_key[best_idx])
+    elif mutual:
         rev_best = jnp.argmin(jnp.where(pair_ok, D, _BIG), axis=0)  # (T,)
         valid = valid & (rev_best[best_idx] == jnp.arange(D.shape[0]))
 

@@ -60,8 +60,26 @@ class Vocabulary(NamedTuple):
         return len(self.centroids)
 
 
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _popcount_np(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_chunked(
+    data: np.ndarray, cents: np.ndarray, chunk: int = 65536
+) -> np.ndarray:
+    """(n, kk) Hamming distances without the (n, kk, 256) unpackbits blowup
+    (training at 10^6-descriptor corpus scale needs bounded temporaries)."""
+    n, kk = data.shape[0], cents.shape[0]
+    out = np.empty((n, kk), np.int32)
+    for s in range(0, n, chunk):
+        x = np.bitwise_xor(data[s : s + chunk, None, :], cents[None, :, :])
+        out[s : s + chunk] = (
+            _POP_LUT[x.view(np.uint8)].sum(-1, dtype=np.int32)
+        )
+    return out
 
 
 def _majority_medoid(descs: np.ndarray) -> np.ndarray:
@@ -91,9 +109,7 @@ def train(
         cents[: init.shape[0]] = init
         assign = np.zeros(n, np.int64)
         for _ in range(iters):
-            d = _popcount_np(
-                np.bitwise_xor(data[:, None, :], cents[None, :, :])
-            )  # (n, kk)
+            d = _hamming_chunked(data, cents)  # (n, kk)
             assign = d.argmin(1)
             for c in range(kk):
                 sel = data[assign == c]

@@ -131,7 +131,7 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def search_in_neighbors(self, kf: int, fuse_cap: int = 2048):
+    def search_in_neighbors(self, kf: int, fuse_cap: int = 4096):
         """Two-level neighbor fuse (SearchInNeighbors, LocalMapping.cc:661-787):
         project neighbors' landmarks into kf and kf's landmarks into each
         neighbor; matches onto keypoints already bound to a landmark MERGE
@@ -148,7 +148,7 @@ class LocalMapper:
         def lm_of(k):
             ids = store.kf_obs_lm[k]
             ids = np.unique(ids[ids >= 0])
-            return ids[store.lm_valid[ids]][:fuse_cap]
+            return ids[store.lm_valid[ids]][-fuse_cap:]
 
         def lm_buffer(lm_ids):
             cap = fuse_cap
@@ -209,7 +209,11 @@ class LocalMapper:
         for nb in neighbors:
             gathered.append(lm_of(nb))
         if gathered:
-            ids = np.unique(np.concatenate(gathered))[:fuse_cap]
+            # Keep the NEWEST ids when over capacity (np.unique sorts
+            # ascending = oldest-first): duplicates needing a merge are the
+            # recently created landmarks, and truncating them away made the
+            # forward fuse a no-op once the map outgrew the cap.
+            ids = np.unique(np.concatenate(gathered))[-fuse_cap:]
             if len(ids):
                 res = fuse_dispatch(kf, ids)
                 rv, ri = jax.device_get((res.valid, res.idx))

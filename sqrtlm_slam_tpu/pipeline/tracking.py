@@ -146,11 +146,15 @@ def match_and_optimize(
         window = _scale_aware_window(
             x_c, uv_pred, lm, frame, radius_px, num_levels, scale_factor
         )
-        ratio = 0.9
+        # Reference TrackLocalMap matching (ORBmatcher.cc:196-247): ratio
+        # 0.8 applied only when best/second share the octave, one landmark
+        # per keypoint by best-claim — NOT global mutual best (which costs
+        # ~30% of true matches once the map holds near-duplicate points).
+        ratio, mutual, octave_t = 0.8, "claim", frame.kp.octave
     else:
         window = None
         proj_ok = lm.valid  # no frustum gate either — pose guess is distrusted
-        ratio = 0.75
+        ratio, mutual, octave_t = 0.75, True, None
     res = matching.match_descriptors(
         lm.desc,
         frame.kp.desc,
@@ -159,7 +163,8 @@ def match_and_optimize(
         window_mask=window,
         max_dist=matching.TH_HIGH,
         ratio=ratio,
-        mutual=True,
+        mutual=mutual,
+        octave_t=octave_t,
     )
 
     obs = pose_opt.VisualObs(
@@ -201,7 +206,8 @@ def match_and_optimize_fused(
     )
     res = matching.match_descriptors(
         lm.desc, frame.kp.desc, proj_ok, frame.kp.valid,
-        window_mask=window, max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
+        window_mask=window, max_dist=matching.TH_HIGH, ratio=0.8,
+        mutual="claim", octave_t=frame.kp.octave,
     )
     obs = pose_opt.VisualObs(
         points_w=lm.pos,
@@ -275,9 +281,9 @@ def track_frame_step(
     remote-attached chip every extra dispatch/fetch costs a ~35 ms RTT;
     folding retract/local_delta/close-counts in here cut ~150 ms/frame.
 
-    Returns (pose, new_velocity, packed_i (2, M) int32 [match idx, match
-    valid], packed_f (17,) f32 [R.ravel(9), t(3), n_inliers, nA, n_lidar,
-    tracked_close, total_close]). pose/new_velocity stay device-resident
+    Returns (pose, new_velocity, packed_i (3, M) int32 [match idx, match
+    valid, frustum-visible], packed_f (17,) f32 [R.ravel(9), t(3),
+    n_inliers, nA, n_lidar, tracked_close, total_close]). pose/new_velocity stay device-resident
     for the next frame; only the packed pair needs fetching.
     """
     guess = se3.retract(prev_pose, velocity)
@@ -314,8 +320,28 @@ def track_frame_step(
     tracked_close = jnp.sum(kp_tracked & close)
     total_close = jnp.sum(close)
 
+    # Per-landmark visibility under the FINAL pose — feeds the host's
+    # IncreaseVisible/IncreaseFound counters (Tracking.cc:1588-1600), whose
+    # found/visible ratio is MapPointCulling's duplicate-killer
+    # (LocalMapping.cc:270). Image bounds approximated by 2*cx x 2*cy (the
+    # principal point is central for KITTI; the <=1% border band only
+    # biases the counter, never geometry).
+    x_vis = se3.act(pose, lm.pos)
+    uv_vis = cam.project(x_vis)
+    d_vis = jnp.linalg.norm(x_vis, axis=-1)
+    visible = (
+        lm.valid
+        & (x_vis[..., 2] > 0.3)
+        & (uv_vis[:, 0] >= 0.0) & (uv_vis[:, 0] < 2.0 * cam.cx)
+        & (uv_vis[:, 1] >= 0.0) & (uv_vis[:, 1] < 2.0 * cam.cy)
+        & jnp.where(
+            jnp.isfinite(lm.max_dist), d_vis < 1.25 * lm.max_dist, True
+        )
+    )
+
     packed_i = jnp.stack(
-        [m_idx.astype(jnp.int32), m_valid.astype(jnp.int32)]
+        [m_idx.astype(jnp.int32), m_valid.astype(jnp.int32),
+         visible.astype(jnp.int32)]
     )
     packed_f = jnp.concatenate(
         [
@@ -951,6 +977,14 @@ class Tracker:
         mi, mv = packed_i[0], packed_i[1].astype(bool)
         sel = mv & (ids >= 0)
         self.last_lm_ids = np.stack([ids[sel], mi[sel]], axis=-1)
+
+        # IncreaseVisible / IncreaseFound (Tracking.cc:1588-1600): the
+        # found/visible ratio is what lets MapPointCulling kill duplicate
+        # landmarks (in view every frame, rarely winning the mutual match).
+        vis = packed_i[2].astype(bool) & (ids >= 0)
+        with self.map_lock:
+            self.store.lm_visible[ids[vis]] += 1
+            self.store.lm_found[ids[sel]] += 1
 
         if commit_pose or corrected:
             # pose/velocity stay device-resident (next frame's step inputs).
