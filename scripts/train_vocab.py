@@ -64,17 +64,81 @@ def collect_descriptors(frames_per_traj: int = 24, max_features: int = 600):
     return np.concatenate(chunks, axis=0)
 
 
+def collect_descriptors_kitti(
+    root: str, seq: str = "00", every: int = 1, max_features: int = 2000
+):
+    """Collect descriptors from a KITTI-layout image directory (the actual
+    evaluation domain — reference trains ORBvoc on external imagery of the
+    target domain class, System.cc:109). Extraction runs on whatever device
+    is active; on the TPU chip ~0.1 s/frame."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from PIL import Image
+
+    from sqrtlm_slam_tpu.frontend import orb
+
+    img_dir = os.path.join(root, "sequences", seq, "image_0")
+    names = sorted(os.listdir(img_dir))[::every]
+    cfg = orb.ORBConfig(max_features=max_features)
+    chunks = []
+    t0 = time.time()
+    extract = jax.jit(orb.extract, static_argnames=("cfg",))
+    for i, name in enumerate(names):
+        img = np.asarray(Image.open(os.path.join(img_dir, name)), np.float32)
+        kp = extract(img, cfg)
+        desc = np.asarray(kp.desc)
+        valid = np.asarray(kp.valid)
+        chunks.append(desc[valid])
+        if (i + 1) % 100 == 0:
+            print(
+                f"[train_vocab] {i + 1}/{len(names)} frames, "
+                f"{sum(len(c) for c in chunks)} descriptors "
+                f"({time.time() - t0:.0f}s)", flush=True,
+            )
+    return np.concatenate(chunks, axis=0)
+
+
 def main():
+    # Pin the platform BEFORE any backend-initializing import: the
+    # container's sitecustomize registers the remote axon TPU and the env
+    # var alone is ignored once a backend exists (see utils/cache.py).
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--kitti-root", default=None,
+                    help="collect from a KITTI-layout sequence instead of "
+                         "the billboard worlds")
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--every", type=int, default=1)
+    ap.add_argument("--save-descs", default=None,
+                    help="also save the collected descriptor corpus (npz)")
+    ap.add_argument("--load-descs", default=None,
+                    help="reuse a saved descriptor corpus")
     args = ap.parse_args()
 
     from sqrtlm_slam_tpu.frontend import vocab
+    import numpy as np
 
-    descs = collect_descriptors()
+    if args.load_descs:
+        descs = np.load(args.load_descs)["descs"]
+    elif args.kitti_root:
+        descs = collect_descriptors_kitti(
+            args.kitti_root, seq=args.seq, every=args.every
+        )
+    else:
+        descs = collect_descriptors()
+    if args.save_descs:
+        np.savez_compressed(args.save_descs, descs=descs)
     print(f"[train_vocab] training k={args.k} depth={args.depth} on "
           f"{len(descs)} descriptors", flush=True)
     t0 = time.time()

@@ -735,6 +735,13 @@ class LoopCloser:
         s_pre, R_pre, t_pre = batched_relatives(pre_ij, s_meas, R_meas, t_meas)
         s_post, R_post, t_post = batched_relatives(post_ij, s_all, R_all, t_all)
 
+        # cfg.edge_cap is a floor, not a ceiling: at KITTI-00-class KF
+        # counts the covis+chain edge set outgrows it, and silently
+        # truncating constraints weakens the relaxation exactly when it
+        # matters most. Round the needed capacity up in 4096 buckets so the
+        # (rare) loop-time recompile cost is bounded.
+        needed = 1 + len(post_ij) + len(pre_ij)
+        E = max(E, -(-needed // 4096) * 4096)
         ei = np.zeros(E, np.int32)
         ej = np.zeros(E, np.int32)
         es = np.ones(E, np.float32)
