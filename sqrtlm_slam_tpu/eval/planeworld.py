@@ -441,14 +441,20 @@ def circuit_trajectory(
     n_frames: int,
     A: float = 60.0,
     B: float = 40.0,
-    corner_r: float = 6.0,
+    corner_r: float = 10.0,
     step: float = 0.8,
     start_s: float = 0.0,
+    corner_slow: float = 0.45,
+    ramp_m: float = 5.0,
 ):
     """T_cw poses driving the rounded-rectangle centerline counter-clockwise
     at `step` m/frame (KITTI is ~0.8-1.1 m/frame at 10 Hz). Corners are
-    quarter arcs of radius `corner_r` so heading changes smoothly over
-    ~12 frames. Returns (poses, perimeter_m)."""
+    quarter arcs of radius `corner_r`, and the vehicle SLOWS to
+    `corner_slow * step` through them with linear `ramp_m` on-ramps — real
+    KITTI yaw rates stay under ~2 deg/frame at 10 Hz because cars brake for
+    turns; a constant-speed 6 m-radius corner is 7.6 deg/frame (~96 px at
+    fx=719), which no reference-gate tracker survives and no real sequence
+    contains. Defaults give <=2.1 deg/frame. Returns (poses, perimeter_m)."""
     La = 2 * (B - corner_r)   # straights along z at x=+-A
     Lb = 2 * (A - corner_r)   # straights along x at z=+-B
     Qc = 0.5 * np.pi * corner_r
@@ -503,10 +509,35 @@ def circuit_trajectory(
         tan = np.array([-np.sin(th), np.cos(th)])
         return pos, tan
 
+    # Corner spans in arc length (same order the eval_s cases consume).
+    corner_spans = [
+        (La, La + Qc),
+        (La + Qc + Lb, La + 2 * Qc + Lb),
+        (2 * La + 2 * Qc + Lb, 2 * La + 3 * Qc + Lb),
+        (2 * La + 3 * Qc + 2 * Lb, perim),
+    ]
+
+    def speed_factor(s):
+        s = s % perim
+        f = 1.0
+        for c0, c1 in corner_spans:
+            if c0 <= s <= c1:
+                return corner_slow
+            # Linear ramps before/after (wrap-aware via both directions).
+            d = min(
+                abs(s - c0), abs(s - c1),
+                abs(s + perim - c1), abs(s - perim - c0),
+            )
+            if d < ramp_m:
+                f = min(f, corner_slow + (1 - corner_slow) * d / ramp_m)
+        return f
+
     poses = []
     up = np.array([0.0, -1.0, 0.0])
+    s_cur = start_s
     for i in range(n_frames):
-        (px, pz), (tx, tz) = eval_s(start_s + i * step)
+        (px, pz), (tx, tz) = eval_s(s_cur)
+        s_cur += step * speed_factor(s_cur)
         c_w = np.array([px, 0.0, pz])
         fwd = np.array([tx, 0.0, tz])
         fwd = fwd / np.linalg.norm(fwd)
