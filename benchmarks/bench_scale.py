@@ -88,6 +88,14 @@ def main():
 
     p0, _ = gather_global_problem_bucketed(store)
     chi0 = float(sb.chi2_only(p0, DEFAULT_CAM, p0.obs_valid, None))
+    # Pre-warm the exact jitted GBA graph (same shapes + num_iters) so the
+    # recorded wall time is the WARM 10-iteration cost, not the one-off XLA
+    # compile (~3 min at this scale over the remote tunnel; conflating them
+    # is how the stale "6.9 s" row survived two rounds).
+    t0 = time.time()
+    _, _, warm_chi2 = sb.global_ba_cg(p0, DEFAULT_CAM, num_iters=args.gba_iters)
+    float(warm_chi2)
+    t_compile = time.time() - t0
     t0 = time.time()
     ok = lc.run_global_ba()
     t_gba = time.time() - t0
@@ -99,6 +107,7 @@ def main():
         "metric": "scale_gba",
         "kfs": args.kfs, "landmarks": args.lms, "edges": edges,
         "gba_iters": args.gba_iters, "gba_s": round(t_gba, 2),
+        "gba_compile_s": round(t_compile, 2),
         "gba_completed": bool(ok),
         "chi2_before": round(chi0, 1), "chi2_after": round(chi1, 1),
         "ate_drift_m": round(ate_drift, 4),

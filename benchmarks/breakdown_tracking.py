@@ -29,12 +29,38 @@ from sqrtlm_slam_tpu.frontend import orb
 from sqrtlm_slam_tpu.pipeline import tracking as tr
 from sqrtlm_slam_tpu.pipeline.frame import build_frame
 
-CFG = orb.ORBConfig(max_features=1000)
-CAM = DEFAULT_CAM
+if os.environ.get("SQRTLM_BREAKDOWN_RES", "") == "kitti":
+    # Reference-resolution scene (1226x370, cfg/KITTI00-02.yaml geometry)
+    # rendered by the textured-surface world — the shape the soak runs at.
+    from sqrtlm_slam_tpu.eval.kitti_synth import (
+        KITTI_BF, KITTI_CX, KITTI_CY, KITTI_FX, KITTI_FY, KITTI_H, KITTI_W,
+    )
+    from sqrtlm_slam_tpu.eval.planeworld import (
+        circuit_trajectory, street_circuit_world,
+    )
+    from sqrtlm_slam_tpu.factors.reprojection import Camera
 
-world = SyntheticWorld(seed=1, n_points=1200)
-T0 = forward_trajectory(2, step=0.3)[1]
-IMG, DEPTH = world.render(T0, CAM)
+    CFG = orb.ORBConfig(max_features=2000)
+    CAM = Camera(fx=KITTI_FX, fy=KITTI_FY, cx=KITTI_CX, cy=KITTI_CY,
+                 bf=KITTI_BF)
+    _pw = street_circuit_world(seed=0)
+    T0 = circuit_trajectory(3)[0][2]
+    IMG, DEPTH = _pw.render(T0, CAM, H=KITTI_H, W=KITTI_W)
+
+    class _W:  # minimal stand-in for SyntheticWorld.points in m_track_step
+        points = np.asarray(
+            np.random.RandomState(0).uniform(-40, 40, size=(4000, 3)),
+            np.float32,
+        )
+
+    world = _W()
+else:
+    CFG = orb.ORBConfig(max_features=1000)
+    CAM = DEFAULT_CAM
+
+    world = SyntheticWorld(seed=1, n_points=1200)
+    T0 = forward_trajectory(2, step=0.3)[1]
+    IMG, DEPTH = world.render(T0, CAM)
 
 
 def slope(make_body, reps=(8, 40), n_timing=4):
