@@ -89,23 +89,49 @@ def eps_of(s):
 
 
 def m_build_frame():
+    # Consume EVERY output leaf: a partial consume lets XLA dead-code-
+    # eliminate whole stages (a depth+xy-only consume measured 1.5 ms for a
+    # frame whose descriptor path alone is ~40 ms).
     def body(carry):
         img, s = carry
         f = build_frame(img, CAM, CFG, depth_img=DEPTH)
-        s2 = jnp.sum(f.kp.xy[:2]) + jnp.sum(f.depth[:2]) + s * 0
+        s2 = (
+            jnp.sum(f.kp.xy[:2]) + jnp.sum(f.depth[:2])
+            + jnp.sum(f.kp.desc[0].astype(jnp.float32))
+            + jnp.sum(f.kp.angle[:2]) + s * 0
+        )
         return (img * eps_of(s2), s2)
 
     return (IMG, jnp.float32(0)), body, lambda c: c[1]
 
 
-def m_extract():
-    def body(carry):
-        img, s = carry
-        kp = orb.extract(img, CFG)
-        s2 = jnp.sum(kp.xy[:2]) + jnp.sum(kp.desc[0].astype(jnp.float32))
-        return (img * eps_of(s2), s2)
+def _m_extract_consuming(consume):
+    """Progressive-consumption measure: stage costs = DIFFERENCES between
+    runs that consume successively more of the real extract graph (XLA
+    dead-code-eliminates unconsumed stages), so every stage is timed in its
+    true fusion context instead of a hand-rebuilt one."""
 
-    return (IMG, jnp.float32(0)), body, lambda c: c[1]
+    def make():
+        def body(carry):
+            img, s = carry
+            kp = orb.extract(img, CFG)
+            s2 = consume(kp) + s * 0
+            return (img * eps_of(s2), s2)
+
+        return (IMG, jnp.float32(0)), body, lambda c: c[1]
+
+    return make
+
+
+m_extract = _m_extract_consuming(
+    lambda kp: jnp.sum(kp.xy[:2])
+    + jnp.sum(kp.desc[0].astype(jnp.float32))
+    + jnp.sum(kp.angle[:2])
+)
+m_extract_fast_topk = _m_extract_consuming(lambda kp: jnp.sum(kp.xy[:2]))
+m_extract_with_angle = _m_extract_consuming(
+    lambda kp: jnp.sum(kp.xy[:2]) + jnp.sum(kp.angle[:2])
+)
 
 
 def m_fast_all_levels():
@@ -188,13 +214,15 @@ def main():
     print(f"device={jax.devices()[0].platform}, img={IMG.shape}, "
           f"feats={CFG.max_features}, levels={CFG.num_levels}")
     for name, m in [
-        ("build_frame (full)", m_build_frame),
-        ("  orb.extract (all levels)", m_extract),
-        ("    FAST dual scores (all levels)", m_fast_all_levels),
-        ("    blur+moments (all levels)", m_blur_moments_all_levels),
+        ("build_frame (full, all leaves)", m_build_frame),
+        ("  orb.extract (full)", m_extract),
+        ("  extract: FAST+grid-topk only", m_extract_fast_topk),
+        ("  extract: +moments/angle", m_extract_with_angle),
         ("track_frame_step (match+LM x2)", m_track_step),
     ]:
         print(f"{name:36s}: {slope(m):8.3f} ms", flush=True)
+    print("(stage costs are DIFFERENCES between consume levels; "
+          "blur+BRIEF = full - (+moments); moments = (+moments) - FAST)")
 
 
 if __name__ == "__main__":

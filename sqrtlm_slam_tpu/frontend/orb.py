@@ -256,10 +256,24 @@ def _correlate2d(img: jnp.ndarray, kernels) -> jnp.ndarray:
 
 
 def gaussian_blur(img: jnp.ndarray, size: int = 7, sigma: float = 2.0) -> jnp.ndarray:
-    """7x7 sigma-2 blur before BRIEF sampling (cv::GaussianBlur equivalent)."""
-    k = _gaussian_kernel(size, sigma)
-    # Symmetric kernel: correlation == convolution.
-    return _correlate2d(img, k[None])[0]
+    """7x7 sigma-2 blur before BRIEF sampling (cv::GaussianBlur equivalent).
+
+    Separable: two 1-D passes (2·size taps) instead of one size² kernel —
+    same zero-padded result, 3.5x fewer MACs."""
+    k2 = np.asarray(_gaussian_kernel(size, sigma))
+    # Exactly-separable rank-1 factorization: k2 = outer(ky, kx).
+    ky = k2[:, size // 2]
+    kx = k2[size // 2, :] / max(ky[size // 2], 1e-20)
+    x = img[None, None].astype(jnp.float32)
+    kxa = jnp.asarray(kx, jnp.float32)[None, None, None, :]
+    kya = jnp.asarray(ky, jnp.float32)[None, None, :, None]
+    out = jax.lax.conv_general_dilated(
+        x, kxa, (1, 1), "SAME", precision=jax.lax.Precision.HIGHEST
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kya, (1, 1), "SAME", precision=jax.lax.Precision.HIGHEST
+    )
+    return out[0, 0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -277,14 +291,71 @@ def _brief_pattern(seed: int = 0, n_bits: int = 256, patch: int = 31) -> np.ndar
 
 
 def _orientation_maps(img: jnp.ndarray, patch: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense m10 / m01 moment maps over a circular patch (conv formulation)."""
+    """Dense m10 / m01 moment maps over a circular patch via ROW PREFIX SUMS.
+
+    The direct 31x31 2-channel correlation was 37.5 of the 45 ms frame
+    build on-chip (breakdown_tracking, progressive-consumption split): a
+    961-tap kernel does 961·H·W MACs/channel. The circle is a stack of
+    horizontal spans, so each output row reduces to span sums of two
+    horizontal prefix arrays (img and x·img):
+
+        m01(y,x) = Σ_dy dy · rowsum_{w(dy)}(y+dy, x)
+        m10(y,x) = Σ_dy [ rowxsum_{w(dy)} - x · rowsum_{w(dy)} ](y+dy, x)
+
+    with w(dy) = floor(sqrt(half² - dy²)) the span half-width. Span sums
+    are two static slices of edge-padded prefix arrays (edge padding of a
+    prefix sum IS the zero-padded-image boundary semantics), and vertical
+    shifts are static slices of a zero-padded stack — O(patch·H·W) adds,
+    no conv, ~20x fewer ops. Exact up to f32 summation order vs the SAME
+    zero-padded correlation it replaces."""
     half = patch // 2
-    ax = np.arange(-half, half + 1, dtype=np.float32)
-    yy, xx = np.meshgrid(ax, ax, indexing="ij")
-    circ = (yy**2 + xx**2 <= half**2).astype(np.float32)
-    # ONE conv call for both moment maps (direct correlation — no flip).
-    m = _correlate2d(img, np.stack([xx * circ, yy * circ]))
-    return m[0], m[1]
+    H, W = img.shape
+    f = img.astype(jnp.float32)
+    x = jnp.arange(W, dtype=jnp.float32)
+
+    # Horizontal prefix arrays with a leading zero: P[:, i] = sum img[:, :i].
+    def prefix(a):
+        p = jnp.concatenate(
+            [jnp.zeros((H, 1), jnp.float32), jnp.cumsum(a, axis=1)], axis=1
+        )
+        # Edge padding replicates P[:,0]=0 / P[:,W]=rowtotal — exactly the
+        # clip-to-border behaviour a zero-padded image induces on spans.
+        return jnp.pad(p, ((0, 0), (half + 1, half + 1)), mode="edge")
+
+    S = prefix(f)
+    U = prefix(f * x[None, :])
+    base = half + 1
+
+    def spans(P, w):
+        # sum over [x-w, x+w] = P[x+w+1] - P[x-w] (prefix convention).
+        return (
+            P[:, base + w + 1 : base + w + 1 + W]
+            - P[:, base - w : base - w + W]
+        )
+
+    # One (rowsum, rowxsum) pair per DISTINCT span width.
+    widths = [
+        int(math.floor(math.sqrt(half * half - dy * dy)))
+        for dy in range(-half, half + 1)
+    ]
+    rows = {}
+    for w in set(widths):
+        rs = spans(S, w)
+        rxs = spans(U, w) - x[None, :] * rs
+        rows[w] = (rs, rxs)
+
+    # Vertical zero-padded stacks, shifted by static dy slices.
+    m10 = jnp.zeros((H, W), jnp.float32)
+    m01 = jnp.zeros((H, W), jnp.float32)
+    zpad = lambda a: jnp.pad(a, ((half, half), (0, 0)))
+    padded = {w: (zpad(rs), zpad(rxs)) for w, (rs, rxs) in rows.items()}
+    for i, dy in enumerate(range(-half, half + 1)):
+        prs, prxs = padded[widths[i]]
+        sl = slice(half + dy, half + dy + H)
+        m10 = m10 + prxs[sl]
+        if dy:
+            m01 = m01 + float(dy) * prs[sl]
+    return m10, m01
 
 
 def compute_descriptors(

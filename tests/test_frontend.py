@@ -205,3 +205,28 @@ class TestScaleAwareSearch:
         assert bool(np.asarray(m)[0, 0])
         m0 = matching.projection_window_mask(uv_pred, uv_kp, 7.0)
         assert not bool(np.asarray(m0)[0, 0])
+
+
+class TestMomentMapsEquivalence:
+    """The prefix-sum moment maps and separable blur must match the direct
+    SAME-padded correlations they replaced (37.5 of 45 ms/frame on-chip)."""
+
+    def test_orientation_maps_match_conv(self):
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.rand(90, 130).astype(np.float32) * 255)
+        half = 31 // 2
+        ax = np.arange(-half, half + 1, dtype=np.float32)
+        yy, xx = np.meshgrid(ax, ax, indexing="ij")
+        circ = (yy**2 + xx**2 <= half**2).astype(np.float32)
+        ref = orb._correlate2d(img, np.stack([xx * circ, yy * circ]))
+        m10, m01 = orb._orientation_maps(img, 31)
+        scale = float(np.abs(np.asarray(ref)).max())
+        assert np.abs(np.asarray(m10 - ref[0])).max() / scale < 1e-4
+        assert np.abs(np.asarray(m01 - ref[1])).max() / scale < 1e-4
+
+    def test_separable_blur_matches_conv(self):
+        rng = np.random.RandomState(4)
+        img = jnp.asarray(rng.rand(48, 72).astype(np.float32) * 255)
+        k = np.asarray(orb._gaussian_kernel(7, 2.0))
+        ref = orb._correlate2d(img, k[None])[0]
+        assert np.abs(np.asarray(orb.gaussian_blur(img) - ref)).max() < 1e-3
