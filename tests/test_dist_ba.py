@@ -22,16 +22,16 @@ def mesh():
 
 class TestPartitioner:
     def test_partition_covers_all(self):
-        problem, _, _ = make_ba_scene(KEY, P=4, L=37, noise=0.3)
+        problem, _, _ = make_ba_scene(KEY, P=4, L=24, noise=0.3)
         sharded, lm_ids = dist_ba.partition_problem(problem, 8)
         # All landmark ids appear exactly once.
         ids = lm_ids[lm_ids >= 0]
-        assert sorted(ids.tolist()) == list(range(37))
+        assert sorted(ids.tolist()) == list(range(24))
         # All valid edges preserved.
         assert int(jnp.sum(sharded.obs_valid)) == int(jnp.sum(problem.obs_valid))
 
     def test_local_indices_consistent(self):
-        problem, _, _ = make_ba_scene(KEY, P=4, L=20, noise=0.3)
+        problem, _, _ = make_ba_scene(KEY, P=4, L=24, noise=0.3)
         sharded, lm_ids = dist_ba.partition_problem(problem, 4)
         # Edge (d, j) with local slot s refers to global landmark lm_ids[d, s]
         # whose position must match the original.
@@ -120,8 +120,8 @@ class TestDistributedNielsenLM:
     def test_matches_single_device_lm(self, mesh):
         from sqrtlm_slam_tpu.optim import schur_bucketed as sb
 
-        problem, _, _ = make_ba_scene(KEY, P=5, L=48, noise=0.4)
-        b = sb.from_flat(problem, K=5)
+        problem, _, _ = make_ba_scene(KEY, P=6, L=64, noise=0.4)
+        b = sb.from_flat(problem, K=6)
         ref, chi2_ref, acc_ref = sb.ba_iterate(
             b, CAM, b.obs_valid, 6, robust_delta=None
         )
@@ -143,8 +143,8 @@ class TestDistributedNielsenLM:
         rejecting steps (nu growth) yet still reducing chi2."""
         from sqrtlm_slam_tpu.optim import schur_bucketed as sb
 
-        problem, _, _ = make_ba_scene(KEY, P=5, L=48, noise=1.5)
-        b = sb.from_flat(problem, K=5)
+        problem, _, _ = make_ba_scene(KEY, P=6, L=64, noise=1.5)
+        b = sb.from_flat(problem, K=6)
         chi0 = float(sb.chi2_only(b, CAM, b.obs_valid, None))
         out, chi2, acc = dist_ba.distributed_ba_lm(b, CAM, mesh, num_iters=10)
         assert float(chi2) <= chi0

@@ -90,7 +90,13 @@ class TestPipelinedTracking:
     replacement for the reference's tracking/mapping thread overlap on a
     remote-attached chip. Must reproduce the sync driver's trajectory."""
 
+    _cache = {}
+
     def _run(self, pipelined: bool):
+        # One full 25-frame run is ~50 s on a small CPU box; both tests in
+        # this class consume the SAME pipelined run, so memoize it.
+        if pipelined in self._cache:
+            return self._cache[pipelined]
         world = SyntheticWorld(seed=3, n_points=900)
         poses = forward_trajectory(25, step=0.4)
         cfg = SystemConfig(
@@ -108,7 +114,8 @@ class TestPipelinedTracking:
             img, depth = world.render(T_gt, DEFAULT_CAM)
             n_ok += system.track_depth(img, depth) is not None
         est = system.get_trajectory()  # flushes the deferred frame
-        return system, n_ok, est, poses
+        self._cache[pipelined] = (system, n_ok, est, poses)
+        return self._cache[pipelined]
 
     def test_pipelined_tracks_accurately(self):
         """The one-frame keyframe-decision latency changes the KF set (so
