@@ -62,7 +62,7 @@ def _upsample_grid(g: np.ndarray, n1: int, n2: int) -> np.ndarray:
 
 
 def make_texture(
-    rng: np.random.RandomState, len1: float, len2: float, texel: float = 0.04
+    rng: np.random.RandomState, len1: float, len2: float, texel: float = 0.015
 ) -> tuple:
     """Multi-octave world-scale texture for a len1 x len2 (m) rectangle.
 
@@ -71,8 +71,8 @@ def make_texture(
     band is posterized into flat regions with sharp boundaries (corner
     features at coarse pyramid levels); sub-metre octaves stay continuous
     (BRIEF discriminativeness). Returns (mip_chain, texel)."""
-    n1 = int(np.clip(round(len1 / texel), 48, 4096))
-    n2 = int(np.clip(round(len2 / texel), 48, 4096))
+    n1 = int(np.clip(round(len1 / texel), 48, 12288))
+    n2 = int(np.clip(round(len2 / texel), 48, 12288))
     t1 = len1 / n1  # realized texel (may differ from request due to clamp)
 
     def band(waves_amps):
@@ -102,7 +102,13 @@ def make_texture(
     )
     mid = posterize(band([(1.0, 0.55), (0.5, 0.45)]), 5.0)
     fine = band([(0.25, 0.5), (0.12, 0.4)])
-    tex = 0.42 * coarse + 0.38 * mid + 0.34 * fine
+    # Micro band: structure the 2-10 px scale at CLOSE range (2-7 m).
+    # During corners the near wall fills the FOV magnified well past the
+    # 12 cm band — without centimetre-scale detail it renders as smooth
+    # blobs, FAST starves, and tracking decayed to LOST through every turn
+    # (r5 soak). Real surfaces carry detail at all scales.
+    micro = 0.6 * posterize(band([(0.06, 0.5)]), 4.0) + band([(0.03, 0.35)])
+    tex = 0.42 * coarse + 0.38 * mid + 0.34 * fine + 0.30 * micro
     # Contrast stretch to [28, 226] (FAST threshold 20 needs local contrast).
     lo, hi = np.percentile(tex, [1.0, 99.0])
     tex = np.clip((tex - lo) / max(hi - lo, 1e-6), 0.0, 1.0) * 198.0 + 28.0
@@ -116,7 +122,7 @@ def make_texture(
     return tuple(mips), float(t1)
 
 
-def _make_plane(rng, p0, e1, e2, texel=0.04) -> Plane:
+def _make_plane(rng, p0, e1, e2, texel=0.015) -> Plane:
     p0 = np.asarray(p0, np.float64)
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
@@ -353,7 +359,7 @@ def street_circuit_world(
     A: float = 60.0,
     B: float = 40.0,
     half_width: float = 7.0,
-    texel: float = 0.04,
+    texel: float = 0.015,
     panel_spacing: float = 22.0,
 ) -> PlaneWorld:
     """Rectangular street circuit: 4 outer + 4 inner facade walls, textured
