@@ -264,7 +264,7 @@ class LidarOdometry:
     def process(self, points: jnp.ndarray, dof: Optional[str] = None) -> se3.SE3:
         """Track one raw LiDAR cloud (N, 3) in the sensor frame. The cloud
         is bucket-padded so variable scan sizes share one jit shape."""
-        f = feat.extract_features(feat.pad_cloud(points), self.feat_cfg)
+        f = feat.extract_features_jit(feat.pad_cloud(points), self.feat_cfg)
         return self.process_features(f, dof=dof)
 
     def process_features(
