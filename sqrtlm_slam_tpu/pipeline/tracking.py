@@ -420,6 +420,11 @@ class Tracker:
         self.state = TrackState.NOT_INITIALIZED
         self.pose = se3.identity()  # T_cw of the last tracked frame
         self.velocity = jnp.zeros(6)
+        # False right after (re)localization: no motion model exists yet, so
+        # the next frame searches with a widened stage-A window (the
+        # reference's TrackReferenceKeyFrame-until-mVelocity-exists phase,
+        # Tracking.cc:1100-1114). Set True once a frame tracks normally.
+        self.velocity_valid = False
         self.ref_kf: int = -1
         self.frames_since_kf = 0
         self.frame_idx = -1
@@ -800,6 +805,7 @@ class Tracker:
             if int(n) >= self.cfg.min_inliers_track:
                 self.pose = pose
                 self.velocity = jnp.zeros(6)
+                self.velocity_valid = False
                 self.ref_kf = kf
                 self.state = TrackState.OK
                 self.frames_lost = 0
@@ -883,6 +889,7 @@ class Tracker:
         keyframe counters, Tracking.cc:1503-1668)."""
         lm_buffer = self._gather_local_map()
         lidar_map = self._gather_lidar_local_map() if frame.lidar is not None else None
+        prev_pose = self.pose
         pose, velocity, packed_i, packed_f = track_frame_step(
             self.pose, self.velocity, lm_buffer, frame, self.cam,
             self.cfg.match_radius_motion, self.cfg.match_radius_local,
@@ -891,7 +898,7 @@ class Tracker:
             num_levels=self.cfg.num_levels, scale_factor=self.cfg.scale_factor,
         )
         return (frame, self.frame_idx, lm_buffer, lidar_map,
-                pose, velocity, packed_i, packed_f)
+                pose, velocity, packed_i, packed_f, prev_pose)
 
     def _track_steady(self, frame: Frame) -> Optional[se3.SE3]:
         """Synchronous steady-state frame: dispatch + immediate consume."""
@@ -929,7 +936,7 @@ class Tracker:
         corrected=True means the no-prior fallback replaced the pose (any
         step chained off the original dispatch must be redone)."""
         (frame, frame_idx, lm_buffer, lidar_map,
-         pose, velocity, packed_i, packed_f) = pending
+         pose, velocity, packed_i, packed_f, prev_pose) = pending
         packed_i, packed_f = jax.device_get((packed_i, packed_f))
         corrected = False
 
@@ -941,12 +948,6 @@ class Tracker:
                 sub, lm_buffer, frame, self.cam
             )
             if int(n_ransac) >= self.cfg.min_inliers_track:
-                # prev_pose=seed_pose + zero velocity makes the stored
-                # constant-velocity estimate ~zero after this recovery.
-                # Intentional: the reference likewise invalidates the motion
-                # model after relocalization-style recovery (mVelocity is
-                # cleared when tracking is re-seeded, Tracking.cc:1503-1510)
-                # rather than trusting a delta across a tracking failure.
                 pose, velocity, packed_i, packed_f = track_frame_step(
                     seed_pose, jnp.zeros(6), lm_buffer, frame, self.cam,
                     self.cfg.match_radius_motion, self.cfg.match_radius_local,
@@ -955,6 +956,16 @@ class Tracker:
                     num_levels=self.cfg.num_levels,
                     scale_factor=self.cfg.scale_factor,
                 )
+                # The reference recomputes mVelocity from the LAST TWO frame
+                # poses after EVERY tracked frame, including the
+                # TrackReferenceKeyFrame fallback (Tracking.cc:1108-1114 /
+                # :1503-1510); only true relocalization clears it. The
+                # in-step velocity above is local_delta(final, seed) ~ the
+                # LM refinement only — keeping it (or zero) mid-turn makes
+                # the NEXT prediction lag by the full yaw rate and the
+                # fallback re-fires every frame until tracking dies (the r5
+                # corner death spiral).
+                velocity = se3.local_delta(pose, prev_pose)
                 packed_i, packed_f = jax.device_get((packed_i, packed_f))
                 corrected = True
 
@@ -970,6 +981,7 @@ class Tracker:
         if n < self.cfg.min_inliers_local:
             self.state = TrackState.LOST
             self.velocity = jnp.zeros(6)
+            self.velocity_valid = False
             return False, True
 
         # Bookkeeping: matched landmark -> keypoint pairs (host side).
@@ -991,6 +1003,7 @@ class Tracker:
             self.velocity = velocity
             self.pose = pose
         self.state = TrackState.OK
+        self.velocity_valid = True
         self.last_inliers = n
 
         if not self.localization_only and self._need_keyframe(
