@@ -299,12 +299,25 @@ def track_frame_step(
     poseA, _, _, nA = jax.lax.cond(outA[3] < min_inliers, widen, keep, None)
 
     if lidar_map is not None:
-        pose, m_idx, m_valid, n_inl, n_lidar = match_and_optimize_fused(
+        poseB, _, _, n_inlB, _ = match_and_optimize_fused(
             poseA, lm, frame, cam, r_local, lidar_map, match_dist, **pyr
         )
+        # Stage C: one re-match + re-opt from the IMPROVED pose. When the
+        # motion prediction was marginal (corner entry/apex), stage B's
+        # windows were centred tens of px off and missed most true
+        # candidates; re-centring on poseB recovers them. ~2 ms on-chip —
+        # the TPU-native form of the reference's iterate-until-stable
+        # association loops (it re-associates per optimization stage in the
+        # LiDAR path, lidarOdom.cc:341-1340).
+        pose, m_idx, m_valid, n_inl, n_lidar = match_and_optimize_fused(
+            poseB, lm, frame, cam, r_local, lidar_map, match_dist, **pyr
+        )
     else:
-        pose, m_idx, m_valid, n_inl = match_and_optimize(
+        poseB, _, _, n_inlB = match_and_optimize(
             poseA, lm, frame, cam, r_local, **pyr
+        )
+        pose, m_idx, m_valid, n_inl = match_and_optimize(
+            poseB, lm, frame, cam, r_local, **pyr
         )
         n_lidar = jnp.asarray(0, jnp.int32)
 
